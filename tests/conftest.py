@@ -1,0 +1,21 @@
+"""Test config: run everything on CPU with 8 virtual devices so sharding
+tests exercise a multi-chip mesh without TPU hardware (SURVEY.md §4).
+
+Note: this image boots every interpreter with an axon TPU PJRT plugin via
+sitecustomize (which imports jax), so env vars alone are too late —
+``jax.config.update`` is the authoritative switch.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

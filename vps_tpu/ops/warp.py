@@ -1,0 +1,106 @@
+"""Dense warping ops: grid_sample, flow warping (Resample2d), channel norm.
+
+TPU-native replacements for the reference's CUDA packages
+(/root/reference/mmdet/models/flow_modules/{resample2d,channelnorm}_package
+and the `WarpingLayer` in flow_modules.py:131-152). All pure jnp: bilinear
+sampling lowers to gathers over the flattened spatial axis, which XLA fuses
+with the surrounding elementwise work; autodiff gives the backward passes.
+
+Layout is NHWC (TPU-native). Flow tensors are (B, H, W, 2) with flow[..., 0]
+= horizontal (x) displacement in pixels, flow[..., 1] = vertical (y), same
+as the reference's channel order.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _gather_bilinear(img, x, y, padding_mode="zeros"):
+    """Sample img (B, H, W, C) at float pixel coords x, y (B, ...)."""
+    b, h, w, c = img.shape
+    out_shape = x.shape  # (B, ...)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    def sample(yi, xi):
+        if padding_mode == "border":
+            xi_c = jnp.clip(xi, 0, w - 1)
+            yi_c = jnp.clip(yi, 0, h - 1)
+            mask = None
+        else:  # zeros
+            mask = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            xi_c = jnp.clip(xi, 0, w - 1)
+            yi_c = jnp.clip(yi, 0, h - 1)
+        flat = img.reshape(b, h * w, c)
+        idx = (yi_c * w + xi_c).reshape(b, -1)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        vals = vals.reshape(*out_shape, c)
+        if mask is not None:
+            vals = vals * mask[..., None].astype(vals.dtype)
+        return vals
+
+    v00 = sample(y0, x0)
+    v01 = sample(y0, x1)
+    v10 = sample(y1, x0)
+    v11 = sample(y1, x1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def grid_sample(img, grid, align_corners=False, padding_mode="zeros"):
+    """torch.nn.functional.grid_sample equivalent (bilinear).
+
+    img: (B, H, W, C); grid: (B, Ho, Wo, 2) normalized coords in [-1, 1],
+    grid[..., 0] = x, grid[..., 1] = y.
+    """
+    h, w = img.shape[1], img.shape[2]
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        x = (gx + 1.0) * 0.5 * (w - 1)
+        y = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        x = ((gx + 1.0) * w - 1.0) * 0.5
+        y = ((gy + 1.0) * h - 1.0) * 0.5
+    return _gather_bilinear(img, x, y, padding_mode=padding_mode)
+
+
+def flow_warp(x, flow, align_corners=False):
+    """Warp ``x`` by ``flow`` exactly as the reference's `WarpingLayer`
+    (flow_modules.py:131-152): a linspace(-1, 1) base grid plus flow
+    normalized by (size-1)/2, passed through grid_sample with torch-1.4
+    defaults (bilinear, zeros padding, align_corners=False)."""
+    b, h, w, _ = x.shape
+    base_x = jnp.linspace(-1.0, 1.0, w)[None, None, :]
+    base_y = jnp.linspace(-1.0, 1.0, h)[None, :, None]
+    gx = base_x + flow[..., 0] / ((w - 1.0) / 2.0)
+    gy = base_y + flow[..., 1] / ((h - 1.0) / 2.0)
+    grid = jnp.stack([gx, gy], axis=-1)
+    return grid_sample(x, grid, align_corners=align_corners, padding_mode="zeros")
+
+
+def resample2d(x, flow):
+    """FlowNet2's Resample2d CUDA op (resample2d_kernel.cu): sample ``x`` at
+    unnormalized (pix + flow) with bilinear interpolation and border clamp."""
+    b, h, w, _ = x.shape
+    xs = jnp.arange(w, dtype=flow.dtype)[None, None, :] + flow[..., 0]
+    ys = jnp.arange(h, dtype=flow.dtype)[None, :, None] + flow[..., 1]
+    return _gather_bilinear(x, xs, ys, padding_mode="border")
+
+
+def channel_norm(x, p=2.0):
+    """L_p norm across channels → (B, H, W, 1); the reference's ChannelNorm
+    CUDA op (channelnorm_kernel.cu, norm_deg=2)."""
+    if p == 2.0:
+        return jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return jnp.sum(jnp.abs(x) ** p, axis=-1, keepdims=True) ** (1.0 / p)
