@@ -1,0 +1,43 @@
+"""FPN neck (reference /root/reference/mmdet/models/necks/fpn.py:11, config:
+in_channels [256,512,1024,2048], out 256, num_outs=5 → extra P6 by stride-2
+max pool on P5, mmdet 1.x behavior when add_extra_convs=False)."""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vps_tpu.registry import NECKS
+from vps_tpu.models.layers import Conv, max_pool, resize_nearest
+
+
+@NECKS.register
+class FPN(nn.Module):
+    in_channels: Sequence[int] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 5
+
+    @nn.compact
+    def __call__(self, inputs) -> Tuple[jnp.ndarray, ...]:
+        assert len(inputs) == len(self.in_channels)
+        n = len(inputs)
+        xavier = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+        laterals = [
+            Conv(self.out_channels, 1, 1, 0, kernel_init=xavier,
+                 name=f"lateral{i}")(inputs[i])
+            for i in range(n)
+        ]
+        for i in range(n - 1, 0, -1):
+            h, w = laterals[i - 1].shape[1:3]
+            laterals[i - 1] = laterals[i - 1] + resize_nearest(laterals[i], (h, w))
+        outs = [
+            Conv(self.out_channels, 3, 1, 1, kernel_init=xavier,
+                 name=f"fpn{i}")(laterals[i])
+            for i in range(n)
+        ]
+        # extra levels: stride-2 max pool (kernel 1) on the last output
+        for _ in range(self.num_outs - n):
+            outs.append(max_pool(outs[-1], 1, 2, 0))
+        return tuple(outs)

@@ -1,0 +1,99 @@
+"""UPSNet-style semantic head (reference
+/root/reference/mmdet/models/panoptic/upsnetFPN.py:15-81): a SHARED tower of
+3 × (DeformConvWithOffset → GroupNorm(32) → ReLU) applied to each of 4 FPN
+levels, all upsampled bilinearly to 1/4 scale, concatenated, 1×1 conv to
+num_classes logits; returns (4× upsampled logits, 1/4-scale logits).
+
+The deformable convs (the reference's CUDA DCN, SURVEY.md §2.3 row 5) run
+through vps_tpu.ops.deform_conv2d (gather + MXU matmul). Offset convs are
+zero-initialized exactly like DeformConvWithOffset
+(mmdet/models/utils/deform_conv_with_offset.py:25-26).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vps_tpu.registry import PANOPTIC
+from vps_tpu.models.layers import Conv, resize_bilinear
+from vps_tpu.ops import deform_conv2d
+from vps_tpu.ops.losses import softmax_cross_entropy
+
+
+class DeformConvWithOffset(nn.Module):
+    features: int
+    kernel_size: int = 3
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        offset = Conv(
+            k * k * 2, 3, 1, 1,
+            kernel_init=nn.initializers.zeros,
+            name="conv_offset",
+        )(x)
+        weight = self.param(
+            "weight",
+            nn.initializers.he_normal(),
+            (k, k, x.shape[-1], self.features),
+        )
+        return deform_conv2d(x, offset, weight, padding=self.padding)
+
+
+@PANOPTIC.register
+class UPSNetFPN(nn.Module):
+    in_channels: int = 256
+    out_channels: int = 128
+    num_levels: int = 4
+    num_things_classes: int = 8
+    num_classes: int = 19
+    ignore_label: int = 255
+    loss_weight: float = 1.0
+
+    @property
+    def num_stuff_classes(self):
+        return self.num_classes - self.num_things_classes
+
+    @nn.compact
+    def __call__(self, inputs):
+        """inputs: 4 FPN levels (B, H/4·2^l, W/4·2^l, 256). Returns
+        (fcn_output (B, H, W, K) full-res logits, fcn_score (B, H/4, W/4, K))."""
+        assert len(inputs) == self.num_levels
+        tower = [
+            (DeformConvWithOffset(self.in_channels, name="dc0"), "gn0"),
+            (DeformConvWithOffset(self.out_channels, name="dc1"), "gn1"),
+            (DeformConvWithOffset(self.out_channels, name="dc2"), "gn2"),
+        ]
+        norms = [
+            nn.GroupNorm(num_groups=32, name=n) for _, n in tower
+        ]
+        outs = []
+        for f in inputs:
+            x = f
+            for (dc, _), gn in zip(tower, norms):
+                x = jax.nn.relu(gn(dc(x)))
+            outs.append(x)
+        h, w = outs[0].shape[1:3]
+        feat = jnp.concatenate(
+            [outs[0]]
+            + [resize_bilinear(o, (h, w)) for o in outs[1:]],
+            axis=-1,
+        )
+        fcn_score = Conv(
+            self.num_classes, 1, 1, 0,
+            kernel_init=nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"),
+            name="conv_pred",
+        )(feat)
+        fcn_output = resize_bilinear(fcn_score, (h * 4, w * 4))
+        return fcn_output, fcn_score
+
+    def loss(self, segm_pred, segm_label):
+        """CE with ignore_index (upsnetFPN.py:84-88). segm_pred (B, H, W, K)
+        channel-last; segm_label (B, H, W) int."""
+        l = softmax_cross_entropy(
+            segm_pred, segm_label, ignore_index=self.ignore_label
+        )
+        return {"loss_segm": self.loss_weight * l}

@@ -1,0 +1,124 @@
+"""ResNet backbone (50/101), torch-parity, NHWC.
+
+Mirrors the reference's mmdet ResNet
+(/root/reference/mmdet/models/backbones/resnet.py:333, config
+`depth=50, num_stages=4, out_indices=(0,1,2,3), frozen_stages=1,
+style='pytorch'`): 7×7/2 stem + 3×3/2 maxpool, Bottleneck stages
+[3, 4, 6, 3], pytorch-style stride (stride 2 on the 3×3 conv), BatchNorm in
+eval mode (FrozenBatchNorm), and ``frozen_stages`` implemented with
+``stop_gradient`` (parameter-freezing semantics of requires_grad=False).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vps_tpu.registry import BACKBONES
+from vps_tpu.models.layers import Conv, FrozenBatchNorm, max_pool
+
+ARCH_SETTINGS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class Bottleneck(nn.Module):
+    planes: int  # bottleneck width; out channels = planes * 4
+    stride: int = 1
+    dilation: int = 1
+    style: str = "pytorch"
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        conv1_stride = 1 if self.style == "pytorch" else self.stride
+        conv2_stride = self.stride if self.style == "pytorch" else 1
+        identity = x
+        out = Conv(self.planes, 1, conv1_stride, 0, use_bias=False, )(x)
+        out = FrozenBatchNorm(self.planes)(out)
+        out = jax.nn.relu(out)
+        out = Conv(
+            self.planes, 3, conv2_stride, self.dilation, self.dilation, use_bias=False
+        )(out)
+        out = FrozenBatchNorm(self.planes)(out)
+        out = jax.nn.relu(out)
+        out = Conv(self.planes * 4, 1, 1, 0, use_bias=False)(out)
+        out = FrozenBatchNorm(self.planes * 4)(out)
+        if self.downsample:
+            identity = Conv(self.planes * 4, 1, self.stride, 0, use_bias=False)(x)
+            identity = FrozenBatchNorm(self.planes * 4)(identity)
+        return jax.nn.relu(out + identity)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    style: str = "pytorch"
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = Conv(self.planes, 3, self.stride, self.dilation, self.dilation,
+                   use_bias=False)(x)
+        out = FrozenBatchNorm(self.planes)(out)
+        out = jax.nn.relu(out)
+        out = Conv(self.planes, 3, 1, 1, use_bias=False)(out)
+        out = FrozenBatchNorm(self.planes)(out)
+        if self.downsample:
+            identity = Conv(self.planes, 1, self.stride, 0, use_bias=False)(x)
+            identity = FrozenBatchNorm(self.planes)(identity)
+        return jax.nn.relu(out + identity)
+
+
+@BACKBONES.register
+class ResNet(nn.Module):
+    depth: int = 50
+    num_stages: int = 4
+    strides: Sequence[int] = (1, 2, 2, 2)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    frozen_stages: int = -1
+    style: str = "pytorch"
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        block_kind, stage_blocks = ARCH_SETTINGS[self.depth]
+        block_cls = Bottleneck if block_kind == "bottleneck" else BasicBlock
+
+        x = Conv(64, 7, 2, 3, use_bias=False, )(x)
+        x = FrozenBatchNorm(64)(x)
+        x = jax.nn.relu(x)
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+        x = max_pool(x, 3, 2, 1)
+
+        outs = []
+        planes = 64
+        for i in range(self.num_stages):
+            nblocks = stage_blocks[i]
+            stride = self.strides[i]
+            dilation = self.dilations[i]
+            for j in range(nblocks):
+                x = block_cls(
+                    planes=planes,
+                    stride=stride if j == 0 else 1,
+                    dilation=dilation,
+                    style=self.style,
+                    downsample=(j == 0),
+                    name=f"layer{i + 1}_{j}",
+                )(x)
+            if self.frozen_stages >= i + 1:
+                x = jax.lax.stop_gradient(x)
+            if i in self.out_indices:
+                outs.append(x)
+            planes *= 2
+        return tuple(outs)

@@ -23,17 +23,40 @@ def correlation(f1, f2, max_displacement: int, stride2: int = 1):
     out[..., k] = mean_c f1[y, x, c] * f2[y+dy, x+dx, c] for the k-th
     displacement (dy, dx) ∈ {-md..md step stride2}²; out-of-bounds reads of
     f2 are zero (the CUDA kernel zero-pads by pad_size = max_displacement).
+
+    Small displacement counts unroll into fused slice-multiply-reduce ops;
+    large ones (FlowNetC's 441) run as a lax.scan over displacements to keep
+    the HLO compact.
     """
+    import jax
+
     b, h, w, c = f1.shape
     md = max_displacement
     steps = 2 * (md // stride2) + 1
     pad = md
     f2p = jnp.pad(f2, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    outs = []
+
+    if steps * steps <= 128:
+        outs = []
+        for iy in range(steps):
+            dy = -md + iy * stride2
+            for ix in range(steps):
+                dx = -md + ix * stride2
+                shifted = f2p[:, pad + dy : pad + dy + h, pad + dx : pad + dx + w, :]
+                outs.append(jnp.mean(f1 * shifted, axis=-1))
+        return jnp.stack(outs, axis=-1)
+
+    offs = []
     for iy in range(steps):
-        dy = -md + iy * stride2
         for ix in range(steps):
-            dx = -md + ix * stride2
-            shifted = f2p[:, pad + dy : pad + dy + h, pad + dx : pad + dx + w, :]
-            outs.append(jnp.mean(f1 * shifted, axis=-1))
-    return jnp.stack(outs, axis=-1)
+            offs.append((pad - md + iy * stride2, pad - md + ix * stride2))
+    offs = jnp.asarray(offs, jnp.int32)  # (D², 2)
+
+    def body(carry, off):
+        shifted = jax.lax.dynamic_slice(
+            f2p, (0, off[0], off[1], 0), (b, h, w, c)
+        )
+        return carry, jnp.mean(f1 * shifted, axis=-1)
+
+    _, out = jax.lax.scan(body, None, offs)  # (D², B, H, W)
+    return jnp.transpose(out, (1, 2, 3, 0))
