@@ -39,6 +39,44 @@ def crop_and_resize_masks(gt_masks, boxes, out_size: int):
     return jax.vmap(one)(gt_masks, boxes)
 
 
+def crop_and_resize_indexed(mask_stack, mask_idx, boxes, out_size: int):
+    """Like crop_and_resize_masks, but each ROI crops ``mask_stack[mask_idx]``
+    via a single flat gather — never materializing the gathered (R, H, W)
+    stack (important when R≫G, e.g. 512 sampled ROIs over ≤100 gt masks).
+
+    mask_stack: (G, H, W); mask_idx: (R,) int; boxes: (R, 4).
+    Returns (R, out_size, out_size) float.
+    """
+    g, h, w = mask_stack.shape
+    r = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    bw = jnp.maximum(x2 - x1 + 1.0, 1.0)
+    bh = jnp.maximum(y2 - y1 + 1.0, 1.0)
+    grid = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
+    ys = y1[:, None] + grid[None, :] * bh[:, None] - 0.5  # (R, o)
+    xs = x1[:, None] + grid[None, :] * bw[:, None] - 0.5
+    yy = jnp.broadcast_to(ys[:, :, None], (r, out_size, out_size))
+    xx = jnp.broadcast_to(xs[:, None, :], (r, out_size, out_size))
+
+    x0 = jnp.clip(jnp.floor(xx), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(yy), 0, h - 1)
+    x1i = jnp.clip(x0 + 1, 0, w - 1)
+    y1i = jnp.clip(y0 + 1, 0, h - 1)
+    wx = jnp.clip(xx - x0, 0.0, 1.0)
+    wy = jnp.clip(yy - y0, 0.0, 1.0)
+    base = (mask_idx * (h * w))[:, None, None]
+    flat = mask_stack.reshape(-1).astype(jnp.float32)
+
+    def g4(yi, xi):
+        return flat[(base + yi.astype(jnp.int32) * w + xi.astype(jnp.int32))]
+
+    v00, v01 = g4(y0, x0), g4(y0, x1i)
+    v10, v11 = g4(y1i, x0), g4(y1i, x1i)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
 def _bilinear_2d(img, y, x):
     """Bilinear sample single-channel (H, W) at float coords, border clamp."""
     h, w = img.shape
