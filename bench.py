@@ -1,0 +1,89 @@
+"""Headline benchmark: FuseTrack per-frame panoptic+tracking inference
+throughput at Cityscapes-VPS eval resolution (1024×2048) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the only inference fps the reference repo publishes is Mask R-CNN
+R-50-FPN at 10.6 fps on a V100 (docs/MODEL_ZOO.md:92); VPSNet-FuseTrack adds
+FlowNet2 + fusion + tracking + panoptic fusion on top, so 10.6 is a
+generous stand-in denominator (the real FuseTrack is several× slower).
+
+Usage: python bench.py [--size HxW] [--iters N] [--warmup N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 10.6  # docs/MODEL_ZOO.md:92 (Mask R-CNN R-50-FPN, V100)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="1024x2048")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from vps_tpu import zoo
+    from vps_tpu.models.detectors import PanopticFuseTrack, empty_track_state
+
+    h, w = (int(v) for v in args.size.split("x"))
+    cfg = zoo.fusetrack_model_cfg()
+    cfg.pop("type")
+    det = PanopticFuseTrack(
+        train_cfg=zoo.fusetrack_train_cfg(), test_cfg=zoo.fusetrack_test_cfg(),
+        **cfg,
+    )
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
+    ref_img = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
+    state = empty_track_state(cap=256)
+
+    t0 = time.time()
+    variables = det.init({"params": jax.random.PRNGKey(0)}, img, ref_img, state,
+                         method=det.predict)
+    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    @jax.jit
+    def step(img, ref_img, state):
+        return det.apply(variables, img, ref_img, state, method=det.predict)
+
+    t0 = time.time()
+    outputs, state = step(img, ref_img, state)
+    jax.block_until_ready(outputs["panoptic_outputs"])
+    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    for _ in range(args.warmup):
+        outputs, state = step(img, ref_img, state)
+    jax.block_until_ready(outputs["panoptic_outputs"])
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        outputs, state = step(img, ref_img, state)
+    jax.block_until_ready(outputs["panoptic_outputs"])
+    dt = (time.time() - t0) / args.iters
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": f"fusetrack_inference_fps_{h}x{w}",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Video panoptic inference + VPS artifact generation (reference
+tools/test_vpq.py): runs the detector over every frame of every val video
+(sequential — tracking state), builds unified 3-channel panoptic maps, and
+writes pan_pred/*.png + pred.json for eval_vpq.
+
+Usage: python tools/test_vpq.py CONFIG --checkpoint CKPT --out OUT.pkl
+       [--pan_im_json_file data/cityscapes_vps/panoptic_im_val_city_vps.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True, help="output pickle path")
+    p.add_argument("--pan_im_json_file", default=None,
+                   help="categories json (panoptic gt im json)")
+    p.add_argument("--mode", default="val", choices=["val", "test"])
+    p.add_argument("--n_video", type=int, default=0)
+    p.add_argument("--track_cap", type=int, default=256)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from vps_tpu.config import Config
+    from vps_tpu.data import build_dataset
+    from vps_tpu.models import build_detector
+    from vps_tpu.models.detectors import empty_track_state
+    from vps_tpu.utils.checkpoint import load_checkpoint
+    from vps_tpu.eval.unified import get_unified_pan_result, save_panoptic_outputs
+
+    cfg = Config.fromfile(args.config)
+    detector = build_detector(cfg.model, train_cfg=cfg.train_cfg,
+                              test_cfg=cfg.test_cfg)
+    dataset = build_dataset(cfg.data["test"])
+
+    # init + restore
+    img0, ref0, meta0 = dataset.prepare_test(0)
+    state0 = empty_track_state(cap=args.track_cap)
+    variables = detector.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(img0[None]), jnp.asarray(ref0[None]), state0,
+        method=detector.predict,
+    )
+    restored = load_checkpoint(args.checkpoint, {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    })
+    variables = dict(variables)
+    variables["params"] = restored["params"]
+    if restored.get("batch_stats"):
+        variables["batch_stats"] = restored["batch_stats"]
+
+    shape_nopad = tuple(meta0["img_shape_withoutpad"])
+
+    @jax.jit
+    def step(img, ref_img, tstate):
+        return detector.apply(
+            variables, img, ref_img, tstate,
+            img_shape_withoutpad=shape_nopad, method=detector.predict,
+        )
+
+    results = dict(all_names=[], all_ssegs=[], all_panos=[],
+                   all_pano_cls_inds=[], all_pano_obj_ids=[])
+    tstate = state0
+    t0 = time.time()
+    for idx in range(len(dataset)):
+        img, ref_img, meta = dataset.prepare_test(idx)
+        if meta["is_first"]:
+            tstate = empty_track_state(cap=args.track_cap)
+        outputs, tstate = step(
+            jnp.asarray(img[None]), jnp.asarray(ref_img[None]), tstate
+        )
+        nk = int(outputs["num_keep"])
+        results["all_names"].append(meta["filename"].split("/")[-1])
+        results["all_ssegs"].append(
+            np.asarray(outputs["fcn_outputs"], np.uint8))
+        results["all_panos"].append(
+            np.asarray(outputs["panoptic_outputs"], np.uint8))
+        results["all_pano_cls_inds"].append(
+            np.asarray(outputs["panoptic_cls_inds"][:nk]))
+        results["all_pano_obj_ids"].append(
+            np.asarray(outputs["panoptic_det_obj_ids"][:nk]))
+        if (idx + 1) % 50 == 0:
+            fps = (idx + 1) / (time.time() - t0)
+            print(f"[{idx + 1}/{len(dataset)}] {fps:.2f} fps", file=sys.stderr)
+
+    os.makedirs(osp.dirname(osp.abspath(args.out)), exist_ok=True)
+    with open(args.out.replace(".pkl", "_pano.pkl"), "wb") as f:
+        pickle.dump(results, f, protocol=2)
+
+    # unified 2ch maps + encoded artifacts
+    pano_cfg = cfg.test_cfg.get("panoptic", {})
+    stuff_area = pano_cfg.get("stuff_area_limit", 4 * 64 * 64)
+    pred_pans_2ch = get_unified_pan_result(
+        results["all_ssegs"], results["all_panos"],
+        results["all_pano_cls_inds"], results["all_pano_obj_ids"],
+        names=results["all_names"], stuff_area_limit=stuff_area,
+    )
+    if args.pan_im_json_file:
+        with open(args.pan_im_json_file) as f:
+            categories = {c["id"]: c for c in json.load(f)["categories"]}
+    else:
+        categories = {
+            i: dict(id=i, isthing=1 if i >= 11 else 0,
+                    color=[(i * 37 + 29) % 256, (i * 91 + 7) % 256,
+                           (i * 173 + 83) % 256])
+            for i in range(19)
+        }
+    output_dir = args.out.replace(".pkl", "_pans_unified")
+    os.makedirs(output_dir, exist_ok=True)
+    save_panoptic_outputs(pred_pans_2ch, categories, output_dir)
+    print(f"VPS outputs written to {output_dir}")
+
+
+if __name__ == "__main__":
+    main()

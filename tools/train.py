@@ -1,0 +1,77 @@
+"""Train a detector (reference tools/train.py equivalent).
+
+Usage: python tools/train.py CONFIG [--work_dir D] [--resume_from CKPT]
+       [--seed N] [--total_epochs N]
+
+Scaling: run one process per host (jax.distributed); devices on each host
+form the data-parallel mesh automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a VPS detector")
+    p.add_argument("config")
+    p.add_argument("--work_dir")
+    p.add_argument("--load_from")
+    p.add_argument("--resume_from")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--total_epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="global batch (default: one sample per device)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from vps_tpu.config import Config
+    from vps_tpu.data import build_dataset, build_loader
+    from vps_tpu.models import build_detector
+    from vps_tpu.train.runner import Runner
+    from vps_tpu.utils.logging import get_root_logger, set_random_seed
+
+    cfg = Config.fromfile(args.config)
+    work_dir = args.work_dir or cfg.get("work_dir", "./work_dirs/default")
+    os.makedirs(work_dir, exist_ok=True)
+    logger = get_root_logger(log_file=os.path.join(work_dir, "train.log"))
+    seed = args.seed if args.seed is not None else 0
+    set_random_seed(seed)
+
+    detector = build_detector(
+        cfg.model, train_cfg=cfg.train_cfg, test_cfg=cfg.test_cfg
+    )
+    dataset = build_dataset(cfg.data["train"])
+    batch = args.batch_size or jax.local_device_count()
+    loader = build_loader(
+        dataset, batch, seed=seed,
+        num_hosts=jax.process_count(), host_id=jax.process_index(),
+    )
+    logger.info(
+        f"devices={jax.device_count()} hosts={jax.process_count()} "
+        f"batch/host={batch} steps/epoch={loader.steps_per_epoch()}"
+    )
+
+    runner = Runner(
+        detector, loader, cfg, work_dir,
+        total_epochs=args.total_epochs or cfg.get("total_epochs", 12),
+        log_interval=cfg.get("log_config", {}).get("interval", 10),
+        ckpt_interval=cfg.get("checkpoint_config", {}).get("interval", 4),
+        seed=seed,
+    )
+    runner.run(
+        load_from=args.load_from or cfg.get("load_from"),
+        resume_from=args.resume_from or cfg.get("resume_from"),
+    )
+
+
+if __name__ == "__main__":
+    main()

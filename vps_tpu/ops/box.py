@@ -58,7 +58,9 @@ def delta2bbox(
     dy = denorm[..., 1::4]
     dw = denorm[..., 2::4]
     dh = denorm[..., 3::4]
-    max_ratio = abs(float(jnp.log(wh_ratio_clip)))
+    import math
+
+    max_ratio = abs(math.log(wh_ratio_clip))
     dw = jnp.clip(dw, -max_ratio, max_ratio)
     dh = jnp.clip(dh, -max_ratio, max_ratio)
     px = ((rois[..., 0] + rois[..., 2]) * 0.5)[..., None]

@@ -1,0 +1,101 @@
+"""Data-parallel train step — the TPU-native replacement for the reference's
+MMDistributedDataParallel + DistOptimizerHook (NCCL allreduce after backward,
+core/utils/dist_utils.py:44-58): the batch is sharded over the mesh's
+``data`` axis, the loss is the mean over the global batch, and XLA inserts
+the gradient all-reduce over ICI when jit partitions the computation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def parse_losses(losses: Dict[str, jnp.ndarray]):
+    """mmdet parse_losses (apis/train.py:17-37): total = Σ values whose key
+    contains 'loss'; everything else is a logged metric."""
+    total = sum(v for k, v in losses.items() if "loss" in k)
+    log_vars = dict(losses)
+    log_vars["loss"] = total
+    return total, log_vars
+
+
+def make_train_step(
+    detector,
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Returns train_step(state, batch, rng) -> (state, log_vars).
+
+    ``batch`` arrays carry a leading device-batch dim B; the detector's
+    single-image ``loss`` is vmapped over it and averaged — under jit with
+    the batch sharded on the ``data`` axis this is DDP.
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        def single(sample, key):
+            variables = {"params": params, "batch_stats": batch_stats}
+            losses = detector.apply(
+                variables,
+                img=sample["img"][None],
+                ref_img=sample["ref_img"][None],
+                gt_bboxes=sample["gt_bboxes"],
+                gt_labels=sample["gt_labels"],
+                gt_valid=sample["gt_valid"],
+                gt_masks=sample["gt_masks"],
+                gt_semantic_seg=sample["gt_semantic_seg"][None],
+                gt_semantic_seg_Nx=sample["gt_semantic_seg_Nx"][None],
+                gt_pids=sample["gt_pids"],
+                ref_bboxes=sample["ref_bboxes"],
+                ref_valid=sample["ref_valid"],
+                method=detector.loss,
+                rngs={"sampler": key},
+            )
+            return losses
+
+        b = batch["img"].shape[0]
+        keys = jax.random.split(rng, b)
+        losses = jax.vmap(single)(batch, keys)
+        losses = jax.tree.map(lambda x: jnp.mean(x), losses)
+        total, log_vars = parse_losses(losses)
+        return total, log_vars
+
+    def train_step(state: TrainState, batch, rng):
+        (total, log_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, state.batch_stats, opt_state, state.step + 1)
+        return new_state, log_vars
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    import numpy as np
+
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place batch arrays with the leading dim sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

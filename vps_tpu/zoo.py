@@ -1,0 +1,111 @@
+"""Model-config presets: the flagship VPSNet-FuseTrack R-50 (mirroring
+/root/reference/configs/cityscapes/fusetrack.py) and a tiny variant for
+tests / dry runs."""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict
+
+
+def fusetrack_model_cfg(depth: int = 50) -> Dict[str, Any]:
+    return dict(
+        type="PanopticFuseTrack",
+        backbone=dict(type="ResNet", depth=depth, num_stages=4,
+                      out_indices=(0, 1, 2, 3), frozen_stages=1, style="pytorch"),
+        neck=dict(type="FPN", in_channels=[256, 512, 1024, 2048],
+                  out_channels=256, num_outs=5),
+        extra_neck=dict(type="BFPTcea", in_channels=256, num_levels=5,
+                        refine_level=0, refine_type="conv", center=0, nframes=2),
+        panoptic=dict(type="UPSNetFPN", in_channels=256, out_channels=128,
+                      num_levels=4, num_things_classes=8, num_classes=19,
+                      ignore_label=255, loss_weight=1.0),
+        rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=256,
+                      anchor_scales=[8], anchor_ratios=[0.5, 1.0, 2.0],
+                      anchor_strides=[4, 8, 16, 32, 64],
+                      target_means=[0.0] * 4, target_stds=[1.0] * 4),
+        bbox_roi_extractor=dict(type="SingleRoIExtractor",
+                                roi_layer=dict(type="RoIAlign", out_size=7,
+                                               sample_num=2),
+                                out_channels=256, featmap_strides=[4, 8, 16, 32]),
+        bbox_head=dict(type="SharedFCBBoxHead", num_fcs=2, in_channels=256,
+                       fc_out_channels=1024, roi_feat_size=7, num_classes=9,
+                       target_means=[0.0] * 4,
+                       target_stds=[0.1, 0.1, 0.2, 0.2],
+                       reg_class_agnostic=False),
+        track_head=dict(type="TrackHead", num_fcs=2, in_channels=256,
+                        fc_out_channels=1024, roi_feat_size=7,
+                        match_coeff=[1.0, 2.0, 10.0],
+                        loss_match=dict(type="CrossEntropyLoss",
+                                        use_sigmoid=False, loss_weight=0.5)),
+        mask_roi_extractor=dict(type="SingleRoIExtractor",
+                                roi_layer=dict(type="RoIAlign", out_size=14,
+                                               sample_num=2),
+                                out_channels=256, featmap_strides=[4, 8, 16, 32]),
+        mask_head=dict(type="FCNMaskHead", num_convs=4, in_channels=256,
+                       conv_out_channels=256, num_classes=9,
+                       loss_mask=dict(type="CrossEntropyLoss", use_mask=True,
+                                      loss_weight=1.0)),
+    )
+
+
+def fusetrack_train_cfg() -> Dict[str, Any]:
+    return dict(
+        rpn=dict(
+            assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.7,
+                          neg_iou_thr=0.3, min_pos_iou=0.3, ignore_iof_thr=-1),
+            sampler=dict(type="RandomSampler", num=256, pos_fraction=0.5,
+                         neg_pos_ub=-1, add_gt_as_proposals=False),
+            allowed_border=0, pos_weight=-1,
+        ),
+        rpn_proposal=dict(nms_across_levels=False, nms_pre=2000, nms_post=2000,
+                          max_num=2000, nms_thr=0.7, min_bbox_size=0),
+        rcnn=dict(
+            assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                          neg_iou_thr=0.5, min_pos_iou=0.5, ignore_iof_thr=-1),
+            sampler=dict(type="RandomSampler", num=512, pos_fraction=0.25,
+                         neg_pos_ub=-1, add_gt_as_proposals=True),
+            mask_size=28, pos_weight=-1,
+        ),
+        loss_pano_weight=0.5,
+        class_mapping={i: i + 10 for i in range(1, 9)},
+    )
+
+
+def fusetrack_test_cfg() -> Dict[str, Any]:
+    return dict(
+        rpn=dict(nms_across_levels=False, nms_pre=1000, nms_post=1000,
+                 max_num=1000, nms_thr=0.7, min_bbox_size=0),
+        rcnn=dict(score_thr=0.05, nms=dict(type="nms", iou_thr=0.5),
+                  max_per_img=100, mask_thr_binary=0.5),
+        # single config system: the reference's parallel UPSNet yaml knobs
+        # (test_cityscapes_1gpu.yaml) live here
+        panoptic=dict(score_thresh=0.6, nms_thresh=0.5, max_det=100,
+                      bbox_reg_weights=(10.0, 10.0, 5.0, 5.0),
+                      stuff_area_limit=2048),
+        loss_pano_weight=None,
+        class_mapping={i: i + 10 for i in range(1, 9)},
+    )
+
+
+def tiny_overrides(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Shrink a model cfg for tests/dry-runs: ResNet-18 trunk."""
+    cfg = copy.deepcopy(cfg)
+    cfg["backbone"]["depth"] = 18
+    cfg["neck"]["in_channels"] = [64, 128, 256, 512]
+    return cfg
+
+
+def tiny_train_cfg() -> Dict[str, Any]:
+    cfg = fusetrack_train_cfg()
+    cfg["rpn"]["sampler"]["num"] = 64
+    cfg["rpn_proposal"].update(nms_pre=200, nms_post=200, max_num=128)
+    cfg["rcnn"]["sampler"]["num"] = 64
+    return cfg
+
+
+def tiny_test_cfg() -> Dict[str, Any]:
+    cfg = fusetrack_test_cfg()
+    cfg["rpn"].update(nms_pre=128, nms_post=128, max_num=128)
+    cfg["panoptic"]["max_det"] = 16
+    return cfg
