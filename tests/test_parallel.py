@@ -95,11 +95,10 @@ def test_data_parallel_train_step_8_devices():
     rpn_after = np.asarray(jax.tree.leaves(new_state.params["rpn_head"])[0])
     assert not np.allclose(rpn_before, rpn_after)
     # backbone stem frozen (frozen_stages=1)
-    names = list(state.params["backbone"].keys())
-    stem_keys = [n for n in names if n.startswith("Conv_")]
-    if stem_keys:
-        sb = np.asarray(jax.tree.leaves(state.params["backbone"][stem_keys[0]])[0])
-        sa = np.asarray(
-            jax.tree.leaves(new_state.params["backbone"][stem_keys[0]])[0]
-        )
-        np.testing.assert_array_equal(sb, sa)
+    sb = np.asarray(jax.tree.leaves(state.params["backbone"]["conv1"])[0])
+    sa = np.asarray(jax.tree.leaves(new_state.params["backbone"]["conv1"])[0])
+    np.testing.assert_array_equal(sb, sa)
+    # layer1 frozen too, layer2 not
+    l1b = np.asarray(jax.tree.leaves(state.params["backbone"]["layer1_0"])[0])
+    l1a = np.asarray(jax.tree.leaves(new_state.params["backbone"]["layer1_0"])[0])
+    np.testing.assert_array_equal(l1b, l1a)

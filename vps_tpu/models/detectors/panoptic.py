@@ -51,6 +51,22 @@ IMG_MEAN = jnp.asarray([123.675, 116.28, 103.53])
 IMG_STD = jnp.asarray([58.395, 57.12, 57.375])
 
 
+class TinyFlowNet(nn.Module):
+    """Drop-in FlowNet2 stand-in for tests and multi-chip dry runs: same
+    (img1, img2 in [0,255]) → (B, H, W, 2) interface, ~1000× cheaper."""
+
+    @nn.compact
+    def __call__(self, img1, img2):
+        from vps_tpu.models.layers import Conv, resize_bilinear
+
+        x = jnp.concatenate([img1, img2], axis=-1) / 255.0
+        h, w = x.shape[1:3]
+        x = jax.nn.relu(Conv(16, 3, 2, 1, name="c1")(x))
+        x = jax.nn.relu(Conv(16, 3, 2, 1, name="c2")(x))
+        flow = Conv(2, 3, 1, 1, name="pred")(x)
+        return resize_bilinear(flow, (h, w))
+
+
 def _cfgget(cfg, key, default=None):
     if cfg is None:
         return default
@@ -75,6 +91,7 @@ class PanopticFuseTrack(nn.Module):
     test_cfg: Optional[Dict[str, Any]] = None
     pretrained: Optional[str] = None
     with_flow: bool = True
+    flow: Optional[Dict[str, Any]] = None  # None → full FlowNet2
 
     def setup(self):
         b = dict(self.backbone)
@@ -171,7 +188,10 @@ class PanopticFuseTrack(nn.Module):
         else:
             self.track_head_m = None
         if self.with_flow:
-            self.flownet2_m = FlowNet2(name="flownet2")
+            if self.flow is not None and self.flow.get("type") == "TinyFlow":
+                self.flownet2_m = TinyFlowNet(name="flownet2")
+            else:
+                self.flownet2_m = FlowNet2(name="flownet2")
         else:
             self.flownet2_m = None
         self.bbox_roi_cfg = dict(self.bbox_roi_extractor or {})
@@ -293,16 +313,19 @@ class PanopticFuseTrack(nn.Module):
             avg_factor=num_total,
         )
 
-        # proposals
+        # proposals (treated as data — no grad through proposal generation,
+        # as in the reference where get_bboxes output feeds the sampler)
         pcfg = tc.get("rpn_proposal", {})
-        proposals, prop_scores, prop_valid = rpn_proposals(
-            [c[0] for c in cls_outs],
-            [r[0] for r in reg_outs],
-            anchors,
-            (h, w),
-            nms_pre=pcfg.get("nms_pre", 2000),
-            nms_thr=pcfg.get("nms_thr", 0.7),
-            max_num=pcfg.get("max_num", 2000),
+        proposals, prop_scores, prop_valid = jax.lax.stop_gradient(
+            rpn_proposals(
+                [c[0] for c in cls_outs],
+                [r[0] for r in reg_outs],
+                anchors,
+                (h, w),
+                nms_pre=pcfg.get("nms_pre", 2000),
+                nms_thr=pcfg.get("nms_thr", 0.7),
+                max_num=pcfg.get("max_num", 2000),
+            )
         )
 
         # sample rois + targets

@@ -11,7 +11,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from vps_tpu.registry import HEADS
-from vps_tpu.models.layers import Conv, ConvTranspose2x
+from vps_tpu.models.layers import Conv
+from vps_tpu.models.flow.flownet2 import TorchConvTranspose
 
 
 @HEADS.register
@@ -30,7 +31,7 @@ class FCNMaskHead(nn.Module):
             x = Conv(self.conv_out_channels, 3, 1, 1, kernel_init=he,
                      name=f"conv{i}")(x)
             x = jax.nn.relu(x)
-        x = ConvTranspose2x(self.conv_out_channels, name="upsample")(x)
+        x = TorchConvTranspose(self.conv_out_channels, 2, 2, 0, name="upsample")(x)
         x = jax.nn.relu(x)
         x = Conv(self.num_classes, 1, 1, 0, kernel_init=he, name="conv_logits")(x)
         return x

@@ -41,19 +41,21 @@ class Bottleneck(nn.Module):
         conv1_stride = 1 if self.style == "pytorch" else self.stride
         conv2_stride = self.stride if self.style == "pytorch" else 1
         identity = x
-        out = Conv(self.planes, 1, conv1_stride, 0, use_bias=False, )(x)
-        out = FrozenBatchNorm(self.planes)(out)
+        out = Conv(self.planes, 1, conv1_stride, 0, use_bias=False, name="conv1")(x)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = jax.nn.relu(out)
         out = Conv(
-            self.planes, 3, conv2_stride, self.dilation, self.dilation, use_bias=False
+            self.planes, 3, conv2_stride, self.dilation, self.dilation,
+            use_bias=False, name="conv2",
         )(out)
-        out = FrozenBatchNorm(self.planes)(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
         out = jax.nn.relu(out)
-        out = Conv(self.planes * 4, 1, 1, 0, use_bias=False)(out)
-        out = FrozenBatchNorm(self.planes * 4)(out)
+        out = Conv(self.planes * 4, 1, 1, 0, use_bias=False, name="conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
         if self.downsample:
-            identity = Conv(self.planes * 4, 1, self.stride, 0, use_bias=False)(x)
-            identity = FrozenBatchNorm(self.planes * 4)(identity)
+            identity = Conv(self.planes * 4, 1, self.stride, 0, use_bias=False,
+                            name="downsample_conv")(x)
+            identity = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(identity)
         return jax.nn.relu(out + identity)
 
 
@@ -68,14 +70,15 @@ class BasicBlock(nn.Module):
     def __call__(self, x):
         identity = x
         out = Conv(self.planes, 3, self.stride, self.dilation, self.dilation,
-                   use_bias=False)(x)
-        out = FrozenBatchNorm(self.planes)(out)
+                   use_bias=False, name="conv1")(x)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = jax.nn.relu(out)
-        out = Conv(self.planes, 3, 1, 1, use_bias=False)(out)
-        out = FrozenBatchNorm(self.planes)(out)
+        out = Conv(self.planes, 3, 1, 1, use_bias=False, name="conv2")(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
         if self.downsample:
-            identity = Conv(self.planes, 1, self.stride, 0, use_bias=False)(x)
-            identity = FrozenBatchNorm(self.planes)(identity)
+            identity = Conv(self.planes, 1, self.stride, 0, use_bias=False,
+                            name="downsample_conv")(x)
+            identity = FrozenBatchNorm(self.planes, name="downsample_bn")(identity)
         return jax.nn.relu(out + identity)
 
 
@@ -94,8 +97,8 @@ class ResNet(nn.Module):
         block_kind, stage_blocks = ARCH_SETTINGS[self.depth]
         block_cls = Bottleneck if block_kind == "bottleneck" else BasicBlock
 
-        x = Conv(64, 7, 2, 3, use_bias=False, )(x)
-        x = FrozenBatchNorm(64)(x)
+        x = Conv(64, 7, 2, 3, use_bias=False, name="conv1")(x)
+        x = FrozenBatchNorm(64, name="bn1")(x)
         x = jax.nn.relu(x)
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)

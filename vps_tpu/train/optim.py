@@ -25,7 +25,7 @@ def _frozen_path(path: Sequence[str], frozen_stages: int) -> bool:
     if frozen_stages >= 0 and "backbone" in parts:
         i = parts.index("backbone")
         nxt = parts[i + 1] if i + 1 < len(parts) else ""
-        if nxt.startswith("Conv_") or nxt.startswith("FrozenBatchNorm_"):
+        if nxt in ("conv1", "bn1"):
             return True  # stem
         for s in range(1, frozen_stages + 1):
             if nxt.startswith(f"layer{s}_"):

@@ -93,6 +93,7 @@ def tiny_overrides(cfg: Dict[str, Any]) -> Dict[str, Any]:
     cfg = copy.deepcopy(cfg)
     cfg["backbone"]["depth"] = 18
     cfg["neck"]["in_channels"] = [64, 128, 256, 512]
+    cfg["flow"] = dict(type="TinyFlow")
     return cfg
 
 
