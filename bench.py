@@ -53,8 +53,11 @@ def main():
     state = empty_track_state(cap=256)
 
     t0 = time.time()
-    variables = det.init({"params": jax.random.PRNGKey(0)}, img, ref_img, state,
-                         method=det.predict)
+    init_fn = jax.jit(
+        lambda k: det.init({"params": k}, img, ref_img, state, method=det.predict)
+    )
+    variables = init_fn(jax.random.PRNGKey(0))
+    jax.block_until_ready(variables)
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
     @jax.jit

@@ -110,10 +110,13 @@ def main():
     # unified 2ch maps + encoded artifacts
     pano_cfg = cfg.test_cfg.get("panoptic", {})
     stuff_area = pano_cfg.get("stuff_area_limit", 4 * 64 * 64)
+    pcfg = cfg.model.get("panoptic", {})
+    num_stuff = pcfg.get("num_classes", 19) - pcfg.get("num_things_classes", 8)
     pred_pans_2ch = get_unified_pan_result(
         results["all_ssegs"], results["all_panos"],
         results["all_pano_cls_inds"], results["all_pano_obj_ids"],
         names=results["all_names"], stuff_area_limit=stuff_area,
+        num_stuff=num_stuff,
     )
     if args.pan_im_json_file:
         with open(args.pan_im_json_file) as f:

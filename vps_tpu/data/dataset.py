@@ -181,17 +181,27 @@ class CityscapesVPSDataset:
         return pimg, pref, meta
 
 
+@DATASETS.register
+class ViperDataset(CityscapesVPSDataset):
+    """VIPER (day split): same COCO-video machinery; class names come from
+    the json's categories (10 things; 23 semantic classes,
+    /root/reference/tools/dataset/viper.py:100-101)."""
+
+    CLASSES = None  # derived from json categories
+
+
 def build_dataset(cfg: Dict[str, Any]):
     cfg = dict(cfg)
     t = cfg.pop("type", "CityscapesVPSDataset")
-    times = None
     if t == "RepeatDataset":
         times = cfg.get("times", 1)
         inner = dict(cfg["dataset"])
-        inner.pop("type", None)
+        tt = inner.pop("type", "CityscapesVPSDataset")
         inner.pop("pipeline", None)
-        ds = CityscapesVPSDataset(**inner)
+        cls = DATASETS.get(tt) or CityscapesVPSDataset
+        ds = cls(**inner)
         ds.repeat_times = times
         return ds
     cfg.pop("pipeline", None)
-    return CityscapesVPSDataset(**cfg)
+    cls = DATASETS.get(t) or CityscapesVPSDataset
+    return cls(**cfg)
