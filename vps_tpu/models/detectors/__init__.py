@@ -5,3 +5,4 @@ from vps_tpu.models.detectors.panoptic import (  # noqa: F401
     TrackState,
     empty_track_state,
 )
+from vps_tpu.models.detectors.single_stage import RetinaNet, FCOS  # noqa: F401

@@ -41,3 +41,39 @@ class FPN(nn.Module):
         for _ in range(self.num_outs - n):
             outs.append(max_pool(outs[-1], 1, 2, 0))
         return tuple(outs)
+
+
+@NECKS.register
+class HRFPN(nn.Module):
+    """HRFPN neck (reference necks/hrfpn.py): concat all HRNet branches at
+    the highest resolution → 1×1 reduce → avg-pool pyramid → per-level 3×3."""
+
+    in_channels: Sequence[int] = (32, 64, 128, 256)
+    out_channels: int = 256
+    num_outs: int = 5
+    pooling: str = "avg"
+
+    @nn.compact
+    def __call__(self, inputs) -> Tuple[jnp.ndarray, ...]:
+        from vps_tpu.models.layers import avg_pool, resize_bilinear
+
+        assert len(inputs) == len(self.in_channels)
+        xavier = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+        h, w = inputs[0].shape[1:3]
+        ups = [inputs[0]] + [
+            resize_bilinear(x, (h, w)) for x in inputs[1:]
+        ]
+        feat = jnp.concatenate(ups, axis=-1)
+        feat = Conv(self.out_channels, 1, 1, 0, kernel_init=xavier,
+                    name="reduction")(feat)
+        pool = avg_pool if self.pooling == "avg" else max_pool
+        pyramid = [feat]
+        for i in range(1, self.num_outs):
+            k = 2 ** i
+            pyramid.append(pool(feat, k, k, 0))
+        outs = [
+            Conv(self.out_channels, 3, 1, 1, kernel_init=xavier,
+                 name=f"fpn_conv{i}")(p)
+            for i, p in enumerate(pyramid)
+        ]
+        return tuple(outs)

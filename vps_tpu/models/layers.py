@@ -86,6 +86,7 @@ class Conv(nn.Module):
     padding: int = 0
     dilation: int = 1
     use_bias: bool = True
+    groups: int = 1
     kernel_init: Callable = nn.initializers.he_normal()
 
     @nn.compact
@@ -97,6 +98,7 @@ class Conv(nn.Module):
             padding=[(self.padding, self.padding)] * 2,
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias,
+            feature_group_count=self.groups,
             kernel_init=self.kernel_init,
         )(x)
 

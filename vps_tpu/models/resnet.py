@@ -35,20 +35,26 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     style: str = "pytorch"
     downsample: bool = False
+    groups: int = 1  # >1 + base_width → ResNeXt (backbones/resnext.py)
+    base_width: int = 4
 
     @nn.compact
     def __call__(self, x):
         conv1_stride = 1 if self.style == "pytorch" else self.stride
         conv2_stride = self.stride if self.style == "pytorch" else 1
+        if self.groups == 1:
+            width = self.planes
+        else:
+            width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
-        out = Conv(self.planes, 1, conv1_stride, 0, use_bias=False, name="conv1")(x)
-        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = Conv(width, 1, conv1_stride, 0, use_bias=False, name="conv1")(x)
+        out = FrozenBatchNorm(width, name="bn1")(out)
         out = jax.nn.relu(out)
         out = Conv(
-            self.planes, 3, conv2_stride, self.dilation, self.dilation,
-            use_bias=False, name="conv2",
+            width, 3, conv2_stride, self.dilation, self.dilation,
+            use_bias=False, groups=self.groups, name="conv2",
         )(out)
-        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        out = FrozenBatchNorm(width, name="bn2")(out)
         out = jax.nn.relu(out)
         out = Conv(self.planes * 4, 1, 1, 0, use_bias=False, name="conv3")(out)
         out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
@@ -91,6 +97,8 @@ class ResNet(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     frozen_stages: int = -1
     style: str = "pytorch"
+    groups: int = 1
+    base_width: int = 4
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -111,6 +119,9 @@ class ResNet(nn.Module):
             stride = self.strides[i]
             dilation = self.dilations[i]
             for j in range(nblocks):
+                kwargs = {}
+                if block_kind == "bottleneck":
+                    kwargs = dict(groups=self.groups, base_width=self.base_width)
                 x = block_cls(
                     planes=planes,
                     stride=stride if j == 0 else 1,
@@ -118,6 +129,7 @@ class ResNet(nn.Module):
                     style=self.style,
                     downsample=(j == 0),
                     name=f"layer{i + 1}_{j}",
+                    **kwargs,
                 )(x)
             if self.frozen_stages >= i + 1:
                 x = jax.lax.stop_gradient(x)
@@ -125,3 +137,13 @@ class ResNet(nn.Module):
                 outs.append(x)
             planes *= 2
         return tuple(outs)
+
+
+@BACKBONES.register
+class ResNeXt(ResNet):
+    """ResNeXt (reference backbones/resnext.py): grouped-conv Bottleneck.
+    Config-parity alias — `ResNet` with groups/base_width set; registered
+    separately so `type='ResNeXt'` configs resolve."""
+
+    groups: int = 32
+    base_width: int = 4

@@ -47,6 +47,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.cpu_nms.restype = ctypes.c_int
+    lib.cpu_nms.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.cpu_soft_nms.restype = ctypes.c_int
+    lib.cpu_soft_nms.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
     _lib = lib
     return lib
 
@@ -150,6 +161,89 @@ def rle_encode(mask: np.ndarray) -> str:
     if n < 0:
         return _rle_encode_np(mask)
     return buf.value.decode("ascii")
+
+
+def cpu_nms(dets: np.ndarray, thresh: float) -> np.ndarray:
+    """Greedy hard NMS on host. dets (N, 5) = (x1,y1,x2,y2,score), legacy +1
+    IoU (reference upsnet cpu_nms.pyx / mmdet nms_cpu.cpp semantics).
+    Returns kept indices in score order."""
+    dets = np.ascontiguousarray(dets, np.float32)
+    n = dets.shape[0]
+    if n == 0:
+        return np.zeros((0,), np.int64)
+    lib = _load()
+    if lib is None:
+        return _cpu_nms_np(dets, thresh)
+    keep = np.zeros((n,), np.int32)
+    k = lib.cpu_nms(
+        dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        ctypes.c_float(thresh),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return keep[:k].astype(np.int64)
+
+
+def _cpu_nms_np(dets: np.ndarray, thresh: float) -> np.ndarray:
+    order = np.argsort(-dets[:, 4], kind="stable")
+    keep = []
+    suppressed = np.zeros(len(dets), bool)
+    ious = bbox_overlaps_np(dets[:, :4], dets[:, :4])
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        suppressed |= ious[i] > thresh
+        suppressed[i] = True
+    return np.asarray(keep, np.int64)
+
+
+def cpu_soft_nms(
+    dets: np.ndarray,
+    iou_thr: float = 0.3,
+    sigma: float = 0.5,
+    min_score: float = 1e-3,
+    method: str = "linear",
+) -> tuple:
+    """Soft-NMS on host (reference soft_nms_cpu.pyx semantics). Returns
+    (rescored dets (K, 5), kept original indices (K,))."""
+    dets = np.ascontiguousarray(dets, np.float32).copy()
+    n = dets.shape[0]
+    if n == 0:
+        return dets, np.zeros((0,), np.int64)
+    mid = {"hard": 0, "linear": 1, "gaussian": 2}[method]
+    lib = _load()
+    if lib is None:
+        # numpy fallback: mirror the greedy loop
+        work = dets.copy()
+        done = np.zeros(n, bool)
+        keep = []
+        while True:
+            cand = np.where(~done & (work[:, 4] > min_score))[0]
+            if cand.size == 0:
+                break
+            best = cand[np.argmax(work[cand, 4])]
+            done[best] = True
+            keep.append(best)
+            ov = bbox_overlaps_np(work[best : best + 1, :4], work[:, :4])[0]
+            if method == "linear":
+                w = np.where(ov > iou_thr, 1.0 - ov, 1.0)
+            elif method == "gaussian":
+                w = np.exp(-(ov ** 2) / sigma)
+            else:
+                w = np.where(ov > iou_thr, 0.0, 1.0)
+            w[done] = 1.0
+            work[:, 4] *= w
+        keep = np.asarray(keep, np.int64)
+        return work[keep], keep
+    keep = np.zeros((n,), np.int32)
+    k = lib.cpu_soft_nms(
+        dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        ctypes.c_float(iou_thr), ctypes.c_float(sigma),
+        ctypes.c_float(min_score), mid,
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    kept = keep[:k].astype(np.int64)
+    return dets[kept], kept
 
 
 def bbox_overlaps_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
