@@ -32,6 +32,11 @@ def main():
 
     import jax
 
+    # persistent XLA compile cache: the full-res FuseTrack graph takes
+    # minutes to compile; cache hits bring reruns down to seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -60,23 +65,30 @@ def main():
     jax.block_until_ready(variables)
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # params as ARGUMENT, not closure: closed-over device arrays are embedded
+    # as MLIR constants whose lowering does a device→host fetch of every
+    # weight — minutes over a tunneled TPU.
     @jax.jit
-    def step(img, ref_img, state):
+    def step(variables, img, ref_img, state):
         return det.apply(variables, img, ref_img, state, method=det.predict)
 
     t0 = time.time()
-    outputs, state = step(img, ref_img, state)
+    outputs, state = step(variables, img, ref_img, state)
     jax.block_until_ready(outputs["panoptic_outputs"])
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
     for _ in range(args.warmup):
-        outputs, state = step(img, ref_img, state)
-    jax.block_until_ready(outputs["panoptic_outputs"])
+        outputs, state = step(variables, img, ref_img, state)
+    np.asarray(outputs["panoptic_outputs"])  # host fetch = hard sync
 
+    # Time with a host fetch per iteration: block_until_ready on a tunneled
+    # (axon) TPU array returns before compute finishes, so device_get is the
+    # only trustworthy sync. The fetched array is (H, W) uint8-sized — the
+    # transfer is negligible next to the model.
     t0 = time.time()
     for _ in range(args.iters):
-        outputs, state = step(img, ref_img, state)
-    jax.block_until_ready(outputs["panoptic_outputs"])
+        outputs, state = step(variables, img, ref_img, state)
+        np.asarray(outputs["panoptic_outputs"])
     dt = (time.time() - t0) / args.iters
     fps = 1.0 / dt
 

@@ -55,6 +55,9 @@ GROUPS = {
 def main():
     args = parse_args()
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from vps_tpu.config import Config
@@ -92,8 +95,10 @@ def main():
         variables["batch_stats"] = restored["batch_stats"]
     shape_nopad = tuple(meta0["img_shape_withoutpad"])
 
+    # params passed as an argument: closure-captured device arrays become
+    # MLIR constants that trigger a device→host weight fetch at lowering.
     @jax.jit
-    def step(img, ref_img, tstate):
+    def step(variables, img, ref_img, tstate):
         return detector.apply(
             variables, img, ref_img, tstate,
             img_shape_withoutpad=shape_nopad, method=detector.predict,
@@ -126,7 +131,8 @@ def main():
             if meta["is_first"]:
                 tstate = empty_track_state(cap=args.track_cap)
             outputs, tstate = step(
-                jnp.asarray(img[None]), jnp.asarray(ref_img[None]), tstate
+                variables, jnp.asarray(img[None]), jnp.asarray(ref_img[None]),
+                tstate,
             )
             seg_counts.append(int(outputs["num_keep"]))
         dt = time.time() - t0

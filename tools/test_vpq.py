@@ -38,6 +38,9 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from vps_tpu.config import Config
@@ -71,8 +74,10 @@ def main():
 
     shape_nopad = tuple(meta0["img_shape_withoutpad"])
 
+    # params passed as an argument: closure-captured device arrays become
+    # MLIR constants that trigger a device→host weight fetch at lowering.
     @jax.jit
-    def step(img, ref_img, tstate):
+    def step(variables, img, ref_img, tstate):
         return detector.apply(
             variables, img, ref_img, tstate,
             img_shape_withoutpad=shape_nopad, method=detector.predict,

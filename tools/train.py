@@ -33,6 +33,9 @@ def main():
     args = parse_args()
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from vps_tpu.config import Config
     from vps_tpu.data import build_dataset, build_loader
     from vps_tpu.models import build_detector

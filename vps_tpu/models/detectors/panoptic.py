@@ -47,8 +47,13 @@ from vps_tpu.ops.losses import (
 )
 from vps_tpu.core.targets import anchor_target, proposal_target
 
-IMG_MEAN = jnp.asarray([123.675, 116.28, 103.53])
-IMG_STD = jnp.asarray([58.395, 57.12, 57.375])
+# numpy (NOT jnp): module-level device arrays become MLIR constants whose
+# lowering forces a device→host fetch — pathologically slow over a tunneled
+# TPU (104s of a 208s lowering measured at 256×512).
+import numpy as _np
+
+IMG_MEAN = _np.asarray([123.675, 116.28, 103.53], _np.float32)
+IMG_STD = _np.asarray([58.395, 57.12, 57.375], _np.float32)
 
 
 class TinyFlowNet(nn.Module):

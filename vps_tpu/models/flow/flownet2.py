@@ -29,6 +29,13 @@ def _lrelu(x):
     return jax.nn.leaky_relu(x, 0.1)
 
 
+# Compute dtype for the (frozen, inference-only) conv stack: bf16 halves HBM
+# traffic and doubles MXU rate. Params stay f32 in the checkpoint; flow
+# *prediction* convs (2-channel outputs) stay f32 — see conv_block — so the
+# regressed displacements keep full precision.
+COMPUTE_DTYPE = jnp.bfloat16
+
+
 class TorchConvTranspose(nn.Module):
     """torch nn.ConvTranspose2d(k, stride, padding) parity in NHWC.
 
@@ -41,6 +48,7 @@ class TorchConvTranspose(nn.Module):
     stride: int = 2
     padding: int = 1
     use_bias: bool = True
+    dtype: object = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x):
@@ -50,6 +58,9 @@ class TorchConvTranspose(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"),
             (k, k, x.shape[-1], self.features),
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
         pad = k - 1 - p
         y = jax.lax.conv_general_dilated(
             x,
@@ -61,12 +72,14 @@ class TorchConvTranspose(nn.Module):
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + b
+            y = y + b.astype(y.dtype)
         return y
 
 
 def conv_block(features, kernel=3, stride=1, name=None):
-    return Conv(features, kernel, stride, (kernel - 1) // 2, name=name)
+    dtype = None if features <= 2 else COMPUTE_DTYPE
+    return Conv(features, kernel, stride, (kernel - 1) // 2, name=name,
+                dtype=dtype)
 
 
 class _Deconv(nn.Module):
@@ -74,7 +87,8 @@ class _Deconv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return _lrelu(TorchConvTranspose(self.features, 4, 2, 1, name="deconv")(x))
+        return _lrelu(TorchConvTranspose(self.features, 4, 2, 1, name="deconv",
+                                         dtype=COMPUTE_DTYPE)(x))
 
 
 class _FlowUp(nn.Module):

@@ -43,8 +43,9 @@ def correlation(f1, f2, max_displacement: int, stride2: int = 1):
             for ix in range(steps):
                 dx = -md + ix * stride2
                 shifted = f2p[:, pad + dy : pad + dy + h, pad + dx : pad + dx + w, :]
-                outs.append(jnp.mean(f1 * shifted, axis=-1))
-        return jnp.stack(outs, axis=-1)
+                # accumulate in f32 even for bf16 inputs
+                outs.append(jnp.mean(f1 * shifted, axis=-1, dtype=jnp.float32))
+        return jnp.stack(outs, axis=-1).astype(f1.dtype)
 
     offs = []
     for iy in range(steps):
@@ -56,7 +57,7 @@ def correlation(f1, f2, max_displacement: int, stride2: int = 1):
         shifted = jax.lax.dynamic_slice(
             f2p, (0, off[0], off[1], 0), (b, h, w, c)
         )
-        return carry, jnp.mean(f1 * shifted, axis=-1)
+        return carry, jnp.mean(f1 * shifted, axis=-1, dtype=jnp.float32)
 
     _, out = jax.lax.scan(body, None, offs)  # (D², B, H, W)
-    return jnp.transpose(out, (1, 2, 3, 0))
+    return jnp.transpose(out, (1, 2, 3, 0)).astype(f1.dtype)
