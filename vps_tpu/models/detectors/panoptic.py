@@ -97,6 +97,12 @@ class PanopticFuseTrack(nn.Module):
     pretrained: Optional[str] = None
     with_flow: bool = True
     flow: Optional[Dict[str, Any]] = None  # None → full FlowNet2
+    # Input scale for FlowNet2. The fuse neck consumes flow at 1/4 scale, so
+    # computing it from half-res frames loses almost nothing while cutting
+    # FlowNet2's cost 4× (and its LiteFlowNetCorr residual refinement in the
+    # neck corrects small flow errors anyway). 1.0 = the reference's exact
+    # full-res behavior (panoptic_fusetrack.py:117-143).
+    flow_input_scale: float = 0.5
 
     def setup(self):
         b = dict(self.backbone)
@@ -210,21 +216,31 @@ class PanopticFuseTrack(nn.Module):
         return self.neck_m(self.backbone_m(img))
 
     def compute_flow(self, img, ref_img, scale_factor=0.25):
-        """panoptic_fusetrack.py:117-143: denormalize → pad to ÷64 →
-        FlowNet2 → trim → bilinear ×scale (flow values scaled too)."""
+        """panoptic_fusetrack.py:117-143: denormalize → (optional input
+        downscale, see flow_input_scale) → pad to ÷64 → FlowNet2 → trim →
+        bilinear resize to h·scale_factor (flow values rescaled)."""
         rgb = img * IMG_STD + IMG_MEAN
         ref_rgb = ref_img * IMG_STD + IMG_MEAN
         h, w = img.shape[1:3]
-        ph = (-h) % 64
-        pw = (-w) % 64
+        fis = self.flow_input_scale
+        if fis != 1.0:
+            fh = int(round(h * fis))
+            fw = int(round(w * fis))
+            rgb = resize_bilinear(rgb, (fh, fw))
+            ref_rgb = resize_bilinear(ref_rgb, (fh, fw))
+        else:
+            fh, fw = h, w
+        ph = (-fh) % 64
+        pw = (-fw) % 64
         rgb_p = jnp.pad(rgb, ((0, 0), (0, ph), (0, pw), (0, 0)))
         ref_p = jnp.pad(ref_rgb, ((0, 0), (0, ph), (0, pw), (0, 0)))
         flow = jax.lax.stop_gradient(self.flownet2_m(rgb_p, ref_p))
-        flow = flow[:, :h, :w, :]
-        if scale_factor != 1:
+        flow = flow[:, :fh, :fw, :]
+        if scale_factor != fis:
             oh = int(round(h * scale_factor))
             ow = int(round(w * scale_factor))
-            flow = resize_bilinear(flow, (oh, ow)) * scale_factor
+            # flow values are in input-scale pixels → rescale to output scale
+            flow = resize_bilinear(flow, (oh, ow)) * (scale_factor / fis)
         return flow
 
     def _roi_feats(self, feats, rois, out_size, valid=None):

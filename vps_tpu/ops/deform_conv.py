@@ -79,9 +79,11 @@ def deform_conv2d(
             acc = acc + vals * (wgt * inb)[..., None]
         if mask is not None:
             acc = acc * mask[..., ki, None]
+        # keep the matmul operands in the input dtype (bf16 path rides the
+        # MXU at full rate); accumulation stays f32 via preferred_element_type
         out = out + jnp.einsum(
             "bhwi,io->bhwo",
-            acc,
+            acc.astype(x.dtype),
             weight[ki // kw, ki % kw],
             preferred_element_type=jnp.float32,
         )
