@@ -107,12 +107,17 @@ class PanopticFuseTrack(nn.Module):
     def setup(self):
         b = dict(self.backbone)
         b.pop("type", None)
+        import jax.numpy as _jnp
+
+        _dt = {None: None, "float32": None,
+               "bfloat16": _jnp.bfloat16}[b.get("compute_dtype", None)]
         self.backbone_m = ResNet(
             depth=b.get("depth", 50),
             num_stages=b.get("num_stages", 4),
             out_indices=tuple(b.get("out_indices", (0, 1, 2, 3))),
             frozen_stages=b.get("frozen_stages", -1),
             style=b.get("style", "pytorch"),
+            dtype=_dt,
             name="backbone",
         )
         n = dict(self.neck)
@@ -120,6 +125,7 @@ class PanopticFuseTrack(nn.Module):
             in_channels=tuple(n.get("in_channels", (256, 512, 1024, 2048))),
             out_channels=n.get("out_channels", 256),
             num_outs=n.get("num_outs", 5),
+            dtype=_dt,
             name="neck",
         )
         if self.extra_neck is not None:

@@ -18,6 +18,7 @@ class FPN(nn.Module):
     in_channels: Sequence[int] = (256, 512, 1024, 2048)
     out_channels: int = 256
     num_outs: int = 5
+    dtype: object = None  # compute dtype; heads receive f32 outputs
 
     @nn.compact
     def __call__(self, inputs) -> Tuple[jnp.ndarray, ...]:
@@ -26,7 +27,7 @@ class FPN(nn.Module):
         xavier = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
         laterals = [
             Conv(self.out_channels, 1, 1, 0, kernel_init=xavier,
-                 name=f"lateral{i}")(inputs[i])
+                 name=f"lateral{i}", dtype=self.dtype)(inputs[i])
             for i in range(n)
         ]
         for i in range(n - 1, 0, -1):
@@ -34,7 +35,7 @@ class FPN(nn.Module):
             laterals[i - 1] = laterals[i - 1] + resize_nearest(laterals[i], (h, w))
         outs = [
             Conv(self.out_channels, 3, 1, 1, kernel_init=xavier,
-                 name=f"fpn{i}")(laterals[i])
+                 name=f"fpn{i}", dtype=self.dtype)(laterals[i]).astype(jnp.float32)
             for i in range(n)
         ]
         # extra levels: stride-2 max pool (kernel 1) on the last output

@@ -41,8 +41,11 @@ class FrozenBatchNorm(nn.Module):
         var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((self.features,))
         ).value
+        # fold in f32, then apply in the input's dtype (keeps a bf16
+        # compute path bf16 instead of silently promoting every block)
         inv = scale * jax.lax.rsqrt(var + self.eps)
-        return x * inv + (bias - mean * inv)
+        shift = bias - mean * inv
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
 class GroupNorm32(nn.Module):

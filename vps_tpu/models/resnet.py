@@ -37,6 +37,7 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     groups: int = 1  # >1 + base_width → ResNeXt (backbones/resnext.py)
     base_width: int = 4
+    dtype: object = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x):
@@ -47,20 +48,22 @@ class Bottleneck(nn.Module):
         else:
             width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
-        out = Conv(width, 1, conv1_stride, 0, use_bias=False, name="conv1")(x)
+        out = Conv(width, 1, conv1_stride, 0, use_bias=False, name="conv1",
+                   dtype=self.dtype)(x)
         out = FrozenBatchNorm(width, name="bn1")(out)
         out = jax.nn.relu(out)
         out = Conv(
             width, 3, conv2_stride, self.dilation, self.dilation,
-            use_bias=False, groups=self.groups, name="conv2",
+            use_bias=False, groups=self.groups, name="conv2", dtype=self.dtype,
         )(out)
         out = FrozenBatchNorm(width, name="bn2")(out)
         out = jax.nn.relu(out)
-        out = Conv(self.planes * 4, 1, 1, 0, use_bias=False, name="conv3")(out)
+        out = Conv(self.planes * 4, 1, 1, 0, use_bias=False, name="conv3",
+                   dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
         if self.downsample:
             identity = Conv(self.planes * 4, 1, self.stride, 0, use_bias=False,
-                            name="downsample_conv")(x)
+                            name="downsample_conv", dtype=self.dtype)(x)
             identity = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(identity)
         return jax.nn.relu(out + identity)
 
@@ -71,19 +74,21 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     style: str = "pytorch"
     downsample: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
         out = Conv(self.planes, 3, self.stride, self.dilation, self.dilation,
-                   use_bias=False, name="conv1")(x)
+                   use_bias=False, name="conv1", dtype=self.dtype)(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = jax.nn.relu(out)
-        out = Conv(self.planes, 3, 1, 1, use_bias=False, name="conv2")(out)
+        out = Conv(self.planes, 3, 1, 1, use_bias=False, name="conv2",
+                   dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.planes, name="bn2")(out)
         if self.downsample:
             identity = Conv(self.planes, 1, self.stride, 0, use_bias=False,
-                            name="downsample_conv")(x)
+                            name="downsample_conv", dtype=self.dtype)(x)
             identity = FrozenBatchNorm(self.planes, name="downsample_bn")(identity)
         return jax.nn.relu(out + identity)
 
@@ -99,13 +104,14 @@ class ResNet(nn.Module):
     style: str = "pytorch"
     groups: int = 1
     base_width: int = 4
+    dtype: object = None  # compute dtype (e.g. bf16 inference); params f32
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         block_kind, stage_blocks = ARCH_SETTINGS[self.depth]
         block_cls = Bottleneck if block_kind == "bottleneck" else BasicBlock
 
-        x = Conv(64, 7, 2, 3, use_bias=False, name="conv1")(x)
+        x = Conv(64, 7, 2, 3, use_bias=False, name="conv1", dtype=self.dtype)(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = jax.nn.relu(x)
         if self.frozen_stages >= 0:
@@ -119,9 +125,9 @@ class ResNet(nn.Module):
             stride = self.strides[i]
             dilation = self.dilations[i]
             for j in range(nblocks):
-                kwargs = {}
+                kwargs = {"dtype": self.dtype}
                 if block_kind == "bottleneck":
-                    kwargs = dict(groups=self.groups, base_width=self.base_width)
+                    kwargs.update(groups=self.groups, base_width=self.base_width)
                 x = block_cls(
                     planes=planes,
                     stride=stride if j == 0 else 1,

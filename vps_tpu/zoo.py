@@ -12,7 +12,8 @@ def fusetrack_model_cfg(depth: int = 50) -> Dict[str, Any]:
     return dict(
         type="PanopticFuseTrack",
         backbone=dict(type="ResNet", depth=depth, num_stages=4,
-                      out_indices=(0, 1, 2, 3), frozen_stages=1, style="pytorch"),
+                      out_indices=(0, 1, 2, 3), frozen_stages=1,
+                      style="pytorch", compute_dtype="bfloat16"),
         neck=dict(type="FPN", in_channels=[256, 512, 1024, 2048],
                   out_channels=256, num_outs=5),
         extra_neck=dict(type="BFPTcea", in_channels=256, num_levels=5,
