@@ -252,14 +252,17 @@ class PanopticFuseTrack(nn.Module):
     def _roi_feats(self, feats, rois, out_size, valid=None):
         strides = self.bbox_roi_cfg.get("featmap_strides", [4, 8, 16, 32])
         sample_num = self.bbox_roi_cfg.get("roi_layer", {}).get("sample_num", 2)
-        return multilevel_roi_align(
-            [f[0] for f in feats[: len(strides)]],
+        # bf16 gathers halve the HBM traffic of the tap lookups; the 4-tap
+        # bilinear mix and downstream heads accumulate in f32.
+        out = multilevel_roi_align(
+            [f[0].astype(jnp.bfloat16) for f in feats[: len(strides)]],
             rois,
             strides,
             out_size,
             sample_num,
             valid=valid,
         )
+        return out.astype(jnp.float32)
 
     def _anchors_for(self, cls_outs):
         anchors = []

@@ -288,7 +288,21 @@ def mask_removal_and_fuse(
         return Carry(coverage, best_val2, best_idx2, rank, keep_cls, keep_probs,
                      keep_obj)
 
-    out = jax.lax.fori_loop(0, n, body, init)
+    # `order` puts valid dets first (invalid sort to the end with -inf), so
+    # a while_loop over just the valid count does the same work as the full
+    # fori_loop — with ~100 capacity slots but typically ~10-30 real dets
+    # this cuts the sequential full-res paste phase proportionally.
+    num_valid = jnp.sum(det_valid.astype(jnp.int32))
+
+    def cond(state):
+        i, _ = state
+        return i < num_valid
+
+    def wbody(state):
+        i, c = state
+        return i + 1, body(i, c)
+
+    _, out = jax.lax.while_loop(cond, wbody, (jnp.asarray(0, jnp.int32), init))
     keep_valid = jnp.arange(n) < out.rank
     return PanopticFusion(
         out.best_idx, sseg, out.keep_cls, out.keep_probs, out.keep_obj,
