@@ -26,12 +26,20 @@ def parse_args():
     p.add_argument("--total_epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None,
                    help="global batch (default: one sample per device)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(TPU pod / SLURM rendezvous from the environment)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
+
+    if args.distributed:
+        # reference init_dist (apis/env.py:13-50) equivalent: rendezvous is
+        # discovered from the TPU runtime or SLURM_* env vars.
+        jax.distributed.initialize()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

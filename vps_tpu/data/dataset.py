@@ -102,6 +102,13 @@ class CityscapesVPSDataset:
             masks=np.zeros((0, h, w), np.uint8),
         )
 
+    def get_ann_info(self, idx: int) -> Dict[str, Any]:
+        """Public per-image annotation accessor (CustomDataset.get_ann_info
+        semantics) for evaluation tools: bboxes (N, 4) legacy xyxy, 1-based
+        labels, obj ids, masks."""
+        ann = self._parse_anns(self.coco, self.img_infos[idx])
+        return dict(ann, bboxes_ignore=np.zeros((0, 4), np.float32))
+
     def _load_img(self, prefix, filename):
         path = osp.join(prefix, filename)
         img = cv2.imread(path, cv2.IMREAD_COLOR)

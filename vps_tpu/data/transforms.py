@@ -228,3 +228,37 @@ class TestPipeline:
             img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
             ref_img = np.pad(ref_img, ((0, ph), (0, pw), (0, 0)))
         return img, ref_img, (h, w), factor
+
+
+class MultiScaleFlipAug:
+    """Test-time augmentation enumerator (reference
+    datasets/pipelines/test_aug.py MultiScaleFlipAug): yields one
+    TestPipeline output per (scale × flip) variant plus per-variant meta so
+    callers can invert the transforms when merging predictions."""
+
+    def __init__(self, img_scales=((2048, 1024),), flip=False,
+                 size_divisor=32, mean=IMG_MEAN, std=IMG_STD):
+        if isinstance(img_scales[0], int):
+            img_scales = (img_scales,)
+        self.img_scales = list(img_scales)
+        self.flip_variants = [False, True] if flip else [False]
+        self.size_divisor = size_divisor
+        self.mean = mean
+        self.std = std
+
+    def __call__(self, img, ref_img):
+        outs = []
+        for scale in self.img_scales:
+            pipe = TestPipeline(scale, self.size_divisor, self.mean, self.std)
+            base_img, base_ref, shape, factor = pipe(img, ref_img)
+            for flip in self.flip_variants:
+                v_img, v_ref = base_img, base_ref
+                if flip:
+                    v_img = v_img[:, ::-1].copy()
+                    v_ref = v_ref[:, ::-1].copy()
+                outs.append(dict(
+                    img=v_img, ref_img=v_ref,
+                    img_shape_withoutpad=shape,
+                    scale_factor=factor, flip=flip, scale=tuple(scale),
+                ))
+        return outs

@@ -28,6 +28,8 @@ class Runner:
         log_interval: int = 10,
         ckpt_interval: int = 4,
         seed: int = 0,
+        eval_fn=None,
+        eval_interval: int = 1,
     ):
         self.detector = detector
         self.loader = loader
@@ -37,8 +39,16 @@ class Runner:
         self.log_interval = log_interval
         self.ckpt_interval = ckpt_interval
         self.seed = seed
+        # post-epoch validation hook (the reference's DistEvalHook family,
+        # core/evaluation/eval_hooks.py:18-74): eval_fn(state, epoch) -> dict
+        # of metrics, invoked every eval_interval epochs on process 0.
+        self.eval_fn = eval_fn
+        self.eval_interval = eval_interval
         self.logger = get_root_logger()
         self.mesh = make_mesh()
+        from vps_tpu.utils.metrics import Speedometer
+
+        self.speedometer = Speedometer(frequent=50, logger=self.logger)
 
     def init_state(self, sample: Dict[str, np.ndarray]) -> TrainState:
         det = self.detector
@@ -118,6 +128,7 @@ class Runner:
                 )
                 rng, sub = jax.random.split(rng)
                 state, log_vars = step_fn(state, sharded, sub)
+                self.speedometer(batch_size=next(iter(batch.values())).shape[0])
                 if (i + 1) % self.log_interval == 0:
                     log_vars = {k: float(v) for k, v in log_vars.items()}
                     dt = (time.time() - t_iter) / self.log_interval
@@ -133,4 +144,15 @@ class Runner:
                         state.opt_state, state.batch_stats,
                         meta=dict(epoch=epoch + 1, step=int(state.step)),
                     )
+            if (
+                self.eval_fn is not None
+                and (epoch + 1) % self.eval_interval == 0
+                and jax.process_index() == 0
+            ):
+                metrics = self.eval_fn(state, epoch + 1)
+                if metrics:
+                    msg = ", ".join(
+                        f"{k}: {v:.4f}" for k, v in sorted(metrics.items())
+                    )
+                    self.logger.info(f"Eval [{epoch + 1}] {msg}")
         return state
