@@ -118,7 +118,13 @@ class CityscapesVPSDataset:
 
     def _load_seg(self, img_info):
         """Load the labelmap png for the target frame (semantic classes
-        0..18; remapped via semantic2label when provided)."""
+        0..18; remapped via semantic2label when provided). Datasets without
+        semantic labels (plain detection: seg_prefix=None) get an all-void
+        map so the semantic CE contributes zero loss."""
+        if self.seg_prefix is None:
+            return np.full(
+                (img_info["height"], img_info["width"]), 255, np.uint8
+            )
         name = img_info["filename"].replace("jpg", "png")
         name = name.replace("leftImg8bit", "gtFine_color").replace(
             "newImg8bit", "final_mask"
@@ -197,18 +203,68 @@ class ViperDataset(CityscapesVPSDataset):
     CLASSES = None  # derived from json categories
 
 
+@DATASETS.register
+class CocoDataset(CityscapesVPSDataset):
+    """Image-level COCO-json detection dataset (reference
+    datasets/coco.py): the same machinery with no reference frame — the
+    pipeline pairs each image with itself, so single-frame detectors (and
+    the panoptic detectors with with_flow=False) consume it unchanged."""
+
+    CLASSES = None
+
+    def __init__(self, ann_file, img_prefix, **kw):
+        kw.setdefault("offsets", (0,))  # ref frame = the image itself
+        super().__init__(ann_file, img_prefix, **kw)
+
+
+@DATASETS.register
+class CityscapesDataset(CocoDataset):
+    """Image-level Cityscapes detection dataset (reference
+    datasets/cityscapes.py — CocoDataset with the 8 thing classes)."""
+
+    CLASSES = ("person", "rider", "car", "truck", "bus", "train",
+               "motorcycle", "bicycle")
+
+
+class ConcatDataset:
+    """Concatenation wrapper (reference datasets/dataset_wrappers.py
+    ConcatDataset): index space is the concatenation of the parts."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self.CLASSES = getattr(self.datasets[0], "CLASSES", None)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def _locate(self, idx):
+        di = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return self.datasets[di], idx - int(self._offsets[di])
+
+    def prepare_train(self, idx, rng):
+        ds, i = self._locate(idx)
+        return ds.prepare_train(i, rng)
+
+    def prepare_test(self, idx):
+        ds, i = self._locate(idx)
+        return ds.prepare_test(i)
+
+    def get_ann_info(self, idx):
+        ds, i = self._locate(idx)
+        return ds.get_ann_info(i)
+
+
 def build_dataset(cfg: Dict[str, Any]):
     cfg = dict(cfg)
     t = cfg.pop("type", "CityscapesVPSDataset")
     if t == "RepeatDataset":
         times = cfg.get("times", 1)
-        inner = dict(cfg["dataset"])
-        tt = inner.pop("type", "CityscapesVPSDataset")
-        inner.pop("pipeline", None)
-        cls = DATASETS.get(tt) or CityscapesVPSDataset
-        ds = cls(**inner)
+        ds = build_dataset(cfg["dataset"])
         ds.repeat_times = times
         return ds
+    if t == "ConcatDataset":
+        return ConcatDataset([build_dataset(c) for c in cfg["datasets"]])
     cfg.pop("pipeline", None)
     cls = DATASETS.get(t) or CityscapesVPSDataset
     return cls(**cfg)
