@@ -69,6 +69,10 @@ class BFPTcea(nn.Module):
     refine_type: Optional[str] = "conv"
     nframes: int = 2
     center: int = 0
+    # bf16 compute across the neck (warp gathers, cost volume, TCEA convs)
+    # halves the HBM traffic of this gather-heavy block; params stay f32 and
+    # flow estimates/residual outputs return f32. None → all f32.
+    compute_dtype: Optional[object] = jnp.bfloat16
 
     def gather(self, inputs):
         """Resize-and-average all levels to the refine level's size
@@ -89,34 +93,43 @@ class BFPTcea(nn.Module):
         (B, H0, W0, 2) image flow at the refine level's scale. Returns fused
         per-level tuple."""
         assert len(inputs) == self.num_levels
+        cd = self.compute_dtype
         bsf = self.gather(inputs)
         ref_bsf = self.gather(ref_inputs)
+        if cd is not None:
+            bsf = bsf.astype(cd)
+            ref_bsf = ref_bsf.astype(cd)
 
-        liteflow = LiteFlowNetCorr(search_range=4, name="liteflownet")
+        liteflow = LiteFlowNetCorr(
+            search_range=4, compute_dtype=cd, name="liteflownet"
+        )
         tcea = TCEAFusion(
             nf=self.in_channels, nframes=self.nframes, center=self.center,
-            name="tcea_fusion",
+            compute_dtype=cd, name="tcea_fusion",
         )
 
-        warp_bsf = flow_warp(ref_bsf, flow_init)
+        warp_bsf = flow_warp(ref_bsf, flow_init).astype(ref_bsf.dtype)
         flow_fine = liteflow(bsf, warp_bsf, flow_init)
-        warp_bsf = flow_warp(warp_bsf, flow_fine)
+        warp_bsf = flow_warp(warp_bsf, flow_fine).astype(ref_bsf.dtype)
 
         if next_inputs is not None:
             next_bsf = self.gather(next_inputs)
-            next_warp = flow_warp(next_bsf, next_flow_init)
+            if cd is not None:
+                next_bsf = next_bsf.astype(cd)
+            next_warp = flow_warp(next_bsf, next_flow_init).astype(next_bsf.dtype)
             next_fine = liteflow(bsf, next_warp, next_flow_init)
-            next_warp = flow_warp(next_warp, next_fine)
+            next_warp = flow_warp(next_warp, next_fine).astype(next_bsf.dtype)
             stack = jnp.stack([warp_bsf, bsf, next_warp], axis=1)
         else:
             stack = jnp.stack([bsf, warp_bsf], axis=1)
         bsf = tcea(stack)
 
         if self.refine_type == "conv":
-            bsf = ConvModule(self.in_channels, 3, 1, 1, name="refine")(bsf)
+            bsf = ConvModule(self.in_channels, 3, 1, 1, dtype=cd, name="refine")(bsf)
         elif self.refine_type == "att":
-            bsf = ConvModule(self.in_channels, 3, 1, 1, name="refine_conv")(bsf)
+            bsf = ConvModule(self.in_channels, 3, 1, 1, dtype=cd, name="refine_conv")(bsf)
             bsf = CBAM(self.in_channels, name="refine_att")(bsf)
+        bsf = bsf.astype(jnp.float32)
 
         outs = []
         for i, f in enumerate(inputs):

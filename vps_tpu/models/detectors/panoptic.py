@@ -272,18 +272,29 @@ class PanopticFuseTrack(nn.Module):
             anchors.append(gen.grid_anchors((h, w), stride))
         return anchors
 
-    def _fused_feats(self, img, ref_img):
-        """Flow + backbone ×2 + extra neck fusion; also returns ref feats."""
+    def _fused_feats(self, img, ref_img, ref_feats=None):
+        """Flow + backbone (×2 at video starts, ×1 steady-state) + extra-neck
+        fusion. Returns (fused feats, ref feats, PLAIN current feats).
+
+        `ref_feats` is the steady-state video-scan optimization the
+        reference's per-frame loop cannot do (panoptic_fusetrack.py:516-518
+        recomputes extract_feat(ref_img) every frame): the previous frame's
+        plain FPN pyramid was already computed when that frame was the
+        current one, so the scan carries it and saves a full ResNet+FPN
+        pass per frame. Passing None reproduces the reference behavior."""
         x = self.extract_feat(img)
+        plain_x = x
         if self.extra_neck_m is not None and ref_img is not None:
             flow = self.compute_flow(img, ref_img, 0.25)
-            ref_x = self.extract_feat(ref_img)
+            ref_x = ref_feats if ref_feats is not None \
+                else self.extract_feat(ref_img)
             x = self.extra_neck_m(x, ref_x, flow)
         elif ref_img is not None:
-            ref_x = self.extract_feat(ref_img)
+            ref_x = ref_feats if ref_feats is not None \
+                else self.extract_feat(ref_img)
         else:
             ref_x = None
-        return x, ref_x
+        return x, ref_x, plain_x
 
     # ------------------------------------------------------------------
     # training (panoptic_fusetrack.py:147-353) — batch size 1 per device
@@ -305,7 +316,7 @@ class PanopticFuseTrack(nn.Module):
     ):
         losses = {}
         tc = self.train_cfg
-        x, ref_x = self._fused_feats(img, ref_img)
+        x, ref_x, _ = self._fused_feats(img, ref_img)
 
         # semantic head
         if self.panoptic_m is not None:
@@ -497,12 +508,18 @@ class PanopticFuseTrack(nn.Module):
         ref_img,
         track_state: TrackState,
         img_shape_withoutpad: Optional[Tuple[int, int]] = None,
+        ref_feats=None,
     ):
         """Single-frame FuseTrack inference. Returns (outputs dict,
-        new TrackState). Pass a fresh empty_track_state() at video starts."""
+        new TrackState). Pass a fresh empty_track_state() at video starts.
+
+        `ref_feats`: the previous frame's plain FPN pyramid (the
+        `fpn_feats` entry of the previous step's outputs). Supplying it
+        skips the ref-frame backbone pass — the steady-state video-scan
+        fast path; None recomputes it (video starts / single frames)."""
         tcfg = self.test_cfg
         h, w = img.shape[1:3]
-        x, _ = self._fused_feats(img, ref_img)
+        x, _, plain_x = self._fused_feats(img, ref_img, ref_feats=ref_feats)
 
         fcn_output, fcn_score = self.panoptic_m(list(x[: self.panoptic_m.num_levels]))
 
@@ -608,6 +625,8 @@ class PanopticFuseTrack(nn.Module):
             "det_labels": det_labels,
             "det_probs": det_probs,
             "det_valid": det_valid,
+            # carry for the next frame's ref_feats (stays on device)
+            "fpn_feats": tuple(plain_x),
         }
         return outputs, new_state
 

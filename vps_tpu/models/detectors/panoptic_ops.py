@@ -348,6 +348,11 @@ def track_assign(
     Returns (det_obj_ids (N,), new state). Matches the reference exactly:
     per-det argmax; competition per memory slot keeps the higher score and
     demotes the loser to a new object (second pass, ascending det order).
+
+    The sequential greedy loop carries ONLY O(N+CAP) scalars/vectors; the
+    big memory payloads (feats 256·7·7·256, bboxes, labels) are written once
+    afterwards with batched scatters keyed on the final det→slot map — the
+    per-iteration whole-array updates they replace were ~14 ms/frame.
     """
     n = comp_scores.shape[0]
     cap = state.feats.shape[0]
@@ -355,24 +360,20 @@ def track_assign(
     match_ids = jnp.argmax(comp_scores, axis=1)
 
     class Carry(NamedTuple):
-        feats: jnp.ndarray
-        bboxes: jnp.ndarray
-        labels: jnp.ndarray
-        valid: jnp.ndarray
+        valid: jnp.ndarray  # (CAP,)
         count: jnp.ndarray
         obj_ids: jnp.ndarray  # (N,) -1 until assigned
+        was_new: jnp.ndarray  # (N,) inserted into a fresh slot
         best_scores: jnp.ndarray  # (CAP,)
         best_ids: jnp.ndarray  # (CAP,)
 
     def insert_new(c: Carry, i):
         slot = jnp.minimum(c.count, cap - 1)
         return c._replace(
-            feats=c.feats.at[slot].set(det_feats[i]),
-            bboxes=c.bboxes.at[slot].set(det_boxes[i]),
-            labels=c.labels.at[slot].set(det_labels[i]),
             valid=c.valid.at[slot].set(True),
             count=jnp.minimum(c.count + 1, cap),
             obj_ids=c.obj_ids.at[i].set(slot),
+            was_new=c.was_new.at[i].set(True),
         )
 
     def body(i, c: Carry):
@@ -401,8 +402,6 @@ def track_assign(
                     win, c.best_scores.at[obj].set(score), c.best_scores
                 ),
                 best_ids=jnp.where(win, c.best_ids.at[obj].set(i), c.best_ids),
-                feats=jnp.where(win, c.feats.at[obj].set(det_feats[i]), c.feats),
-                bboxes=jnp.where(win, c.bboxes.at[obj].set(det_boxes[i]), c.bboxes),
             )
 
         c2 = jax.lax.cond(mid == 0, if_new, if_match, c)
@@ -410,12 +409,10 @@ def track_assign(
         return jax.tree.map(lambda a, b: jnp.where(valid, a, b), c2, c)
 
     init = Carry(
-        state.feats,
-        state.bboxes,
-        state.labels,
         state.valid,
         state.count,
         jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), bool),
         jnp.full((cap,), -100.0),
         jnp.full((cap,), -1, jnp.int32),
     )
@@ -428,6 +425,17 @@ def track_assign(
         return jax.tree.map(lambda a, b: jnp.where(need, a, b), c2, c)
 
     c = jax.lax.fori_loop(0, n, body2, c)
-    new_state = TrackState(c.feats, c.bboxes, c.labels, c.valid, c.count)
+
+    # batched memory payload writes: each slot is won by at most one det
+    # (competition is resolved above), so one scatter per array suffices;
+    # out-of-range rows (unassigned dets) drop.
+    write = det_valid & (c.obj_ids >= 0)
+    slots = jnp.where(write, c.obj_ids, cap)
+    feats = state.feats.at[slots].set(det_feats, mode="drop")
+    bboxes = state.bboxes.at[slots].set(det_boxes, mode="drop")
+    new_slots = jnp.where(write & c.was_new, c.obj_ids, cap)
+    labels = state.labels.at[new_slots].set(det_labels, mode="drop")
+
+    new_state = TrackState(feats, bboxes, labels, c.valid, c.count)
     obj_ids = jnp.where(det_valid, c.obj_ids, -1)
     return obj_ids, new_state

@@ -119,6 +119,7 @@ class ConvModule(nn.Module):
     norm: Optional[str] = None
     activation: Optional[str] = "relu"
     use_bias: Optional[bool] = None
+    dtype: Optional[Any] = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x):
@@ -133,6 +134,7 @@ class ConvModule(nn.Module):
             kernel_init=nn.initializers.variance_scaling(
                 1.0, "fan_avg", "uniform"
             ),  # xavier_uniform, the reference's default head init
+            dtype=self.dtype,
         )(x)
         if self.norm == "gn":
             x = nn.GroupNorm(num_groups=32)(x)

@@ -15,10 +15,74 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# Below this channel count, bilinear sampling is descriptor-bound on TPU
+# (measured ~7 ns/gather-row regardless of row width up to ~16ch), so the
+# packed-corner formulation — ONE gather from a 4C-wide shifted-copies pack —
+# is ~3.5× faster (13.6 → ~4 ms for a 512×1024×3 warp on v5e). At ≥128ch
+# gathers are bandwidth-bound (~75 GB/s effective) and packing only adds the
+# pack-build traffic, so the plain 4-gather form wins there.
+_PACK_MAX_CHANNELS = 16
+
+
+def _gather_bilinear_packed(img, x, y, padding_mode="zeros"):
+    """Packed-corner bilinear sampling for few-channel images: all four
+    corners ride in one gather row from a (H+2, W+2, 4C) shifted pack."""
+    b, h, w, c = img.shape
+    out_shape = x.shape
+
+    if padding_mode == "border":
+        x = jnp.clip(x, 0, w - 1)
+        y = jnp.clip(y, 0, h - 1)
+        mode = "edge"
+    else:
+        mode = "constant"
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+
+    if padding_mode != "border":
+        # per-corner in-bounds masks on the UNCLIPPED corners
+        m00 = ((x0 >= 0) & (x0 <= w - 1) & (y0 >= 0) & (y0 <= h - 1))[..., None]
+        m01 = ((x0 >= -1) & (x0 <= w - 2) & (y0 >= 0) & (y0 <= h - 1))[..., None]
+        m10 = ((x0 >= 0) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 2))[..., None]
+        m11 = ((x0 >= -1) & (x0 <= w - 2) & (y0 >= -1) & (y0 <= h - 2))[..., None]
+
+    # pack: index (y0+1, x0+1) into a both-sides-padded copy so corner i+1
+    # lands in the next channel slot; clip base corners to [-1, size-1]
+    xp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+    pack = jnp.concatenate(
+        [
+            xp[:, 0 : h + 1, 0 : w + 1],
+            xp[:, 0 : h + 1, 1 : w + 2],
+            xp[:, 1 : h + 2, 0 : w + 1],
+            xp[:, 1 : h + 2, 1 : w + 2],
+        ],
+        axis=-1,
+    )  # (B, H+1, W+1, 4C); pack[y+1... indexed at (y0+1, x0+1)]
+    x0i = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
+    y0i = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
+    flat = pack.reshape(b, (h + 1) * (w + 1), 4 * c)
+    idx = (y0i * (w + 1) + x0i).reshape(b, -1)
+    v = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    v = v.reshape(*out_shape, 4 * c)
+    v00, v01, v10, v11 = v[..., :c], v[..., c:2 * c], v[..., 2 * c:3 * c], v[..., 3 * c:]
+    if padding_mode != "border":
+        z = jnp.zeros((), v.dtype)
+        v00 = jnp.where(m00, v00, z)
+        v01 = jnp.where(m01, v01, z)
+        v10 = jnp.where(m10, v10, z)
+        v11 = jnp.where(m11, v11, z)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
 
 def _gather_bilinear(img, x, y, padding_mode="zeros"):
     """Sample img (B, H, W, C) at float pixel coords x, y (B, ...)."""
     b, h, w, c = img.shape
+    if c <= _PACK_MAX_CHANNELS:
+        return _gather_bilinear_packed(img, x, y, padding_mode)
     out_shape = x.shape  # (B, ...)
 
     x0 = jnp.floor(x)
