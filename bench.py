@@ -1,5 +1,6 @@
-"""Headline benchmark: FuseTrack per-frame panoptic+tracking inference
-throughput at Cityscapes-VPS eval resolution (1024×2048) on one chip.
+"""Headline benchmark: FuseTrack panoptic+tracking inference throughput at
+Cityscapes-VPS eval resolution (1024×2048) on one chip, measured through the
+on-device lax.scan video runner (one dispatch per clip of --iters frames).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the only inference fps the reference repo publishes is Mask R-CNN
@@ -68,50 +69,51 @@ def main():
     # params as ARGUMENT, not closure: closed-over device arrays are embedded
     # as MLIR constants whose lowering does a device→host fetch of every
     # weight — minutes over a tunneled TPU.
-    # steady-state video-scan step: the previous frame's FPN pyramid rides
-    # in as ref_feats (as tools/test_vpq.py does for every non-first frame —
-    # 29 of every 30 frames), so the backbone runs once per frame.
-    @jax.jit
-    def step(variables, img, ref_img, state, ref_feats, chk):
-        outputs, state = det.apply(
-            variables, img, ref_img, state, ref_feats=ref_feats,
-            method=det.predict,
-        )
-        # running device-side checksum over each frame's panoptic map: the
-        # final scalar fetch forces every chained frame's full compute
-        # without paying an 8 MB/frame device→host transfer or a per-frame
-        # tunnel round-trip (~31 ms) inside the timed loop.
-        # (block_until_ready on a tunneled TPU returns early, so a host
-        # fetch is the only trustworthy sync — keep it tiny and fetch once.)
-        chk = chk + jnp.sum(outputs["panoptic_outputs"].astype(jnp.int32))
-        return outputs, state, chk
+    #
+    # The workload is the on-device video runner (predict_video): a lax.scan
+    # over a clip of distinct frames carrying tracking state + the previous
+    # frame's FPN pyramid in-graph — one dispatch per clip, as tools/
+    # test_vpq.py --chunk runs it. A device-side checksum over every frame's
+    # panoptic map is fetched ONCE to sync (block_until_ready on a tunneled
+    # TPU returns early; per-frame fetches would add ~31 ms tunnel RTT each).
+    from vps_tpu.models.detectors import predict_video
 
-    # first-frame variant (no carry) seeds the fpn_feats pyramid
-    ref_feats = jax.jit(
+    clip = jnp.asarray(
+        rng.randn(args.iters, 1, h, w, 3).astype(np.float32)
+    )
+    no_resets = jnp.zeros((args.iters,), bool)
+
+    @jax.jit
+    def run_clip(variables, clip, state, prev_img, prev_feats):
+        outputs, (state, feats, last) = predict_video(
+            det, variables, clip, no_resets, state, prev_img,
+            prev_feats=prev_feats,
+        )
+        chk = jnp.sum(outputs["panoptic_outputs"].astype(jnp.int32))
+        return chk, state, feats, last
+
+    prev_feats = jax.jit(
         lambda v, im: det.apply(v, im, method=det.extract_feat)
     )(variables, ref_img)
-    chk = jnp.asarray(0, jnp.int32)
 
     t0 = time.time()
-    outputs, state, chk = step(variables, img, ref_img, state, ref_feats, chk)
+    chk, state, prev_feats, prev_img = run_clip(
+        variables, clip, state, ref_img, prev_feats
+    )
     float(chk)
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    for _ in range(args.warmup):
-        outputs, state, chk = step(
-            variables, img, ref_img, state, outputs["fpn_feats"], chk
+    for _ in range(max(args.warmup // args.iters, 1)):
+        chk, state, prev_feats, prev_img = run_clip(
+            variables, clip, state, prev_img, prev_feats
         )
     float(chk)
 
-    # dispatch all frames back-to-back (each chained to the previous via the
-    # track state + feature carry, exactly like the video scan), then one
-    # checksum fetch syncs the whole chain.
     t0 = time.time()
-    for _ in range(args.iters):
-        outputs, state, chk = step(
-            variables, img, ref_img, state, outputs["fpn_feats"], chk
-        )
-    float(chk)  # single scalar host fetch = hard sync of the whole chain
+    chk, state, prev_feats, prev_img = run_clip(
+        variables, clip, state, prev_img, prev_feats
+    )
+    float(chk)  # single scalar host fetch = hard sync of the whole clip
     dt = (time.time() - t0) / args.iters
     fps = 1.0 / dt
 

@@ -32,6 +32,9 @@ def parse_args():
     p.add_argument("--mode", default="val", choices=["val", "test"])
     p.add_argument("--n_video", type=int, default=0)
     p.add_argument("--track_cap", type=int, default=256)
+    p.add_argument("--chunk", type=int, default=8,
+                   help="frames per on-device lax.scan dispatch (1 = "
+                        "per-frame host loop)")
     return p.parse_args()
 
 
@@ -95,37 +98,93 @@ def main():
 
     results = dict(all_names=[], all_ssegs=[], all_panos=[],
                    all_pano_cls_inds=[], all_pano_obj_ids=[])
-    tstate = state0
-    ref_feats = None
     t0 = time.time()
-    for idx in range(len(dataset)):
-        img, ref_img, meta = dataset.prepare_test(idx)
-        if meta["is_first"]:
-            tstate = empty_track_state(cap=args.track_cap)
-            ref_feats = None
-        if ref_feats is None:
-            outputs, tstate = step_first(
-                jnp.asarray(img[None]), jnp.asarray(ref_img[None]), tstate
-            )
-        else:
-            outputs, tstate = step(
-                jnp.asarray(img[None]), jnp.asarray(ref_img[None]), tstate,
-                ref_feats,
-            )
-        ref_feats = outputs["fpn_feats"]
-        nk = int(outputs["num_keep"])
+
+    def record(outputs_np, meta):
+        nk = int(outputs_np["num_keep"])
         results["all_names"].append(meta["filename"].split("/")[-1])
-        results["all_ssegs"].append(
-            np.asarray(outputs["fcn_outputs"], np.uint8))
+        results["all_ssegs"].append(outputs_np["fcn_outputs"].astype(np.uint8))
         results["all_panos"].append(
-            np.asarray(outputs["panoptic_outputs"], np.uint8))
-        results["all_pano_cls_inds"].append(
-            np.asarray(outputs["panoptic_cls_inds"][:nk]))
+            outputs_np["panoptic_outputs"].astype(np.uint8))
+        results["all_pano_cls_inds"].append(outputs_np["panoptic_cls_inds"][:nk])
         results["all_pano_obj_ids"].append(
-            np.asarray(outputs["panoptic_det_obj_ids"][:nk]))
-        if (idx + 1) % 50 == 0:
-            fps = (idx + 1) / (time.time() - t0)
-            print(f"[{idx + 1}/{len(dataset)}] {fps:.2f} fps", file=sys.stderr)
+            outputs_np["panoptic_det_obj_ids"][:nk])
+        done = len(results["all_names"])
+        if done % 50 == 0:
+            fps = done / (time.time() - t0)
+            print(f"[{done}/{len(dataset)}] {fps:.2f} fps", file=sys.stderr)
+
+    if args.chunk > 1:
+        # on-device lax.scan over chunks of frames: one dispatch per chunk
+        # instead of per frame (the per-dispatch round trip can exceed the
+        # frame's compute). Video starts ride in as in-graph reset flags.
+        from vps_tpu.models.detectors import predict_video
+
+        T = args.chunk
+
+        @jax.jit
+        def run_chunk(variables, imgs, resets, tstate, prev_img, prev_feats):
+            return predict_video(
+                detector, variables, imgs, resets, tstate, prev_img,
+                prev_feats=prev_feats,
+                img_shape_withoutpad=shape_nopad,
+            )
+
+        tstate = state0
+        prev_img = jnp.asarray(img0[None])
+        prev_feats = None
+        buf_imgs, buf_resets, buf_meta = [], [], []
+
+        def flush():
+            nonlocal tstate, prev_img, prev_feats, buf_imgs, buf_resets, buf_meta
+            if not buf_imgs:
+                return
+            n_real = len(buf_imgs)
+            while len(buf_imgs) < T:  # pad; padded outputs are dropped
+                buf_imgs.append(buf_imgs[-1])
+                buf_resets.append(False)
+            imgs = jnp.asarray(np.stack(buf_imgs)[:, None])
+            resets = jnp.asarray(np.asarray(buf_resets))
+            if prev_feats is None:
+                prev_feats = detector.apply(
+                    variables, prev_img, method=detector.extract_feat)
+            outputs, (tstate, prev_feats, prev_img) = run_chunk(
+                variables, imgs, resets, tstate, prev_img, prev_feats)
+            outputs_np = {k: np.asarray(v) for k, v in outputs.items()}
+            for t in range(n_real):
+                record({k: v[t] for k, v in outputs_np.items()}, buf_meta[t])
+            buf_imgs, buf_resets, buf_meta = [], [], []
+
+        for idx in range(len(dataset)):
+            img, _ref_img, meta = dataset.prepare_test(idx)
+            if meta["is_first"] and buf_imgs:
+                flush()
+            buf_imgs.append(img)
+            buf_resets.append(bool(meta["is_first"]))
+            buf_meta.append(meta)
+            if len(buf_imgs) == T:
+                flush()
+        flush()
+    else:
+        tstate = state0
+        ref_feats = None
+        for idx in range(len(dataset)):
+            img, ref_img, meta = dataset.prepare_test(idx)
+            if meta["is_first"]:
+                tstate = empty_track_state(cap=args.track_cap)
+                ref_feats = None
+            if ref_feats is None:
+                outputs, tstate = step_first(
+                    jnp.asarray(img[None]), jnp.asarray(ref_img[None]), tstate
+                )
+            else:
+                outputs, tstate = step(
+                    jnp.asarray(img[None]), jnp.asarray(ref_img[None]), tstate,
+                    ref_feats,
+                )
+            ref_feats = outputs["fpn_feats"]
+            record({k: np.asarray(v) for k, v in outputs.items()
+                    if k != "fpn_feats"}, meta)
 
     os.makedirs(osp.dirname(osp.abspath(args.out)), exist_ok=True)
     with open(args.out.replace(".pkl", "_pano.pkl"), "wb") as f:

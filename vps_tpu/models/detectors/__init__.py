@@ -4,5 +4,6 @@ from vps_tpu.models.detectors.panoptic import (  # noqa: F401
     PanopticTrack,
     TrackState,
     empty_track_state,
+    predict_video,
 )
 from vps_tpu.models.detectors.single_stage import RetinaNet, FCOS  # noqa: F401

@@ -631,6 +631,61 @@ class PanopticFuseTrack(nn.Module):
         return outputs, new_state
 
 
+def predict_video(
+    det,
+    variables,
+    imgs,
+    resets,
+    track_state: TrackState,
+    prev_img,
+    prev_feats=None,
+    img_shape_withoutpad: Optional[Tuple[int, int]] = None,
+):
+    """Scan a clip of frames through FuseTrack inference ON DEVICE.
+
+    The reference's per-frame host loop (tools/test_vpq.py:28-69 upstream)
+    dispatches one frame at a time; on TPU each dispatch costs a host→device
+    round trip that can exceed the frame's compute. This runner is the
+    lax.scan formulation SURVEY §5 calls for: T frames ride one dispatch,
+    tracking state and the previous frame's FPN pyramid are carried
+    in-graph, and per-frame outputs come back stacked.
+
+    imgs: (T, B, H, W, 3); resets: (T,) bool — frame t starts a new video
+    (tracking state cleared, its reference is the frame itself, the feature
+    carry is recomputed). prev_img/prev_feats: last frame (+ its pyramid)
+    of the previous chunk; prev_feats=None computes it from prev_img.
+    Returns (stacked outputs without the fpn_feats carry, (state, feats,
+    last_img)).
+    """
+    extract = lambda im: det.apply(variables, im, method=det.extract_feat)
+    if prev_feats is None:
+        prev_feats = extract(prev_img)
+    empty = jax.tree.map(jnp.zeros_like, track_state)
+
+    def step(carry, xs):
+        state, ref_feats, prev = carry
+        img, reset = xs
+        state = jax.tree.map(
+            lambda e, s: jnp.where(reset, e, s), empty, state
+        )
+        ref_img = jnp.where(reset, img, prev)
+        ref_feats = jax.lax.cond(
+            reset, lambda: extract(img), lambda: ref_feats
+        )
+        outputs, state = det.apply(
+            variables, img, ref_img, state, ref_feats=ref_feats,
+            img_shape_withoutpad=img_shape_withoutpad,
+            method=det.predict,
+        )
+        feats = outputs.pop("fpn_feats")
+        return (state, feats, img), outputs
+
+    (state, feats, last), outputs = jax.lax.scan(
+        step, (track_state, prev_feats, prev_img), (imgs, resets)
+    )
+    return outputs, (state, feats, last)
+
+
 @DETECTORS.register
 class PanopticFuse(PanopticFuseTrack):
     """Fuse module without tracking (reference panoptic_fuse.py:24)."""

@@ -227,7 +227,7 @@ def mask_removal_and_fuse(
     sseg = jnp.argmax(fcn_output, axis=-1).astype(jnp.int32)
 
     class Carry(NamedTuple):
-        coverage: jnp.ndarray  # (num_things, H, W) int32 per-class counts
+        coverage: jnp.ndarray  # (H, W) int32 — bit c set ⇔ class c+1 covered
         best_val: jnp.ndarray
         best_idx: jnp.ndarray
         rank: jnp.ndarray
@@ -236,7 +236,7 @@ def mask_removal_and_fuse(
         keep_obj: jnp.ndarray
 
     init = Carry(
-        jnp.zeros((num_things, hh, ww), jnp.int32),
+        jnp.zeros((hh, ww), jnp.int32),
         best_val,
         best_idx,
         jnp.asarray(0, jnp.int32),
@@ -253,17 +253,16 @@ def mask_removal_and_fuse(
         vals, window = _paste_logit_window(mask_logits28[d], box, (hh, ww))
         mask = (vals > 0.0) & window
         mask_sum = jnp.sum(mask)
-        plane = c.coverage[jnp.clip(cls - 1, 0, num_things - 1)]
-        overlap = jnp.sum((plane >= 1) & mask)
+        # per-class occupancy rides as one bit of a single (H, W) plane —
+        # MaskRemoval only tests coverage, never counts (mask_removal.py:61-86)
+        bit = jnp.clip(cls - 1, 0, num_things - 1)
+        covered = (c.coverage >> bit) & 1
+        overlap = jnp.sum((covered == 1) & mask)
         frac = overlap / jnp.maximum(mask_sum, 1)
         keep = valid & (mask_sum > 0) & (frac <= fraction_threshold)
 
-        # update class coverage
-        new_plane = plane + mask.astype(jnp.int32)
         coverage = jnp.where(
-            keep,
-            c.coverage.at[jnp.clip(cls - 1, 0, num_things - 1)].set(new_plane),
-            c.coverage,
+            keep & mask, c.coverage | (1 << bit), c.coverage
         )
 
         # instance channel logits: SegTerm window + pasted mask logits
