@@ -159,3 +159,82 @@ def test_accuracy():
     logits = jnp.asarray(np.eye(4, dtype=np.float32) * 5)
     labels = jnp.asarray(np.array([0, 1, 2, 0]))
     assert float(accuracy(logits, labels)) == 0.75
+
+
+def test_deform_conv_windowed_matches_clamped_gather():
+    # in-window offsets: windowed == exact deform conv; out-of-window
+    # offsets: windowed == deform conv on clip()ed offsets
+    from vps_tpu.ops.deform_conv import deform_conv2d_windowed
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    weight = jnp.asarray(rng.randn(3, 3, 4, 4).astype(np.float32))
+
+    off_in = jnp.asarray((rng.randn(1, 8, 8, 18) * 1.0).astype(np.float32))
+    got = deform_conv2d_windowed(x, off_in, weight, 1, 4)
+    want = deform_conv2d(x, jnp.clip(off_in, -4.0, 4.0), weight, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    off_big = off_in * 8.0
+    got = deform_conv2d_windowed(x, off_big, weight, 1, 4)
+    want = deform_conv2d(x, jnp.clip(off_big, -4.0, 4.0), weight, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_deform_conv_windowed_grads_match_clamped_graph():
+    from vps_tpu.ops.deform_conv import deform_conv2d_windowed
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 6, 6, 2).astype(np.float32))
+    offset = jnp.asarray((rng.randn(1, 6, 6, 18) * 1.5).astype(np.float32))
+    weight = jnp.asarray(rng.randn(3, 3, 2, 2).astype(np.float32))
+
+    def f_win(x, o, w):
+        return (deform_conv2d_windowed(x, o, w, 1, 4) ** 2).sum()
+
+    def f_ref(x, o, w):
+        return (deform_conv2d(x, jnp.clip(o, -4.0, 4.0), w, padding=1) ** 2).sum()
+
+    gw = jax.grad(f_win, argnums=(0, 1, 2))(x, offset, weight)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(x, offset, weight)
+    for a, b in zip(gw, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_deform_conv_gather_y_path_matches_scalar_reference():
+    # cout < cin triggers the gather-from-Y formulation (gathers commute
+    # with the tap matmul); must agree with the scalar reference
+    rng = np.random.RandomState(5)
+    x = rng.randn(1, 6, 7, 5).astype(np.float32)
+    offset = (rng.randn(1, 6, 7, 18) * 0.7).astype(np.float32)
+    weight = rng.randn(3, 3, 5, 3).astype(np.float32)
+    got = np.asarray(
+        deform_conv2d(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(weight))
+    )
+    want = _np_deform_conv(x, offset, weight, 1, 1, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # modulated (v2) mask composes with the gather-y path too
+    m = rng.rand(1, 6, 7, 9).astype(np.float32)
+    got = np.asarray(
+        deform_conv2d(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(weight),
+                      mask=jnp.asarray(m))
+    )
+    assert np.isfinite(got).all()
+
+
+def test_deform_conv_large_offsets_boundaries_match_scalar_reference():
+    # large offsets drive samples far out of bounds in every direction,
+    # exercising the paired-gather boundary selects
+    rng = np.random.RandomState(6)
+    x = rng.randn(1, 7, 9, 4).astype(np.float32)
+    offset = (rng.randn(1, 7, 9, 18) * 6.0).astype(np.float32)
+    weight = rng.randn(3, 3, 4, 2).astype(np.float32)
+    got = np.asarray(
+        deform_conv2d(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(weight))
+    )
+    want = _np_deform_conv(x, offset, weight, 1, 1, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -184,6 +184,7 @@ class PanopticFuseTrack(nn.Module):
                 num_classes=p.get("num_classes", 19),
                 ignore_label=p.get("ignore_label", 255),
                 loss_weight=p.get("loss_weight", 1.0),
+                dcn_window=p.get("dcn_window", None),
                 name="panopticFPN",
             )
         else:

@@ -19,6 +19,7 @@ import flax.linen as nn
 from vps_tpu.registry import PANOPTIC
 from vps_tpu.models.layers import Conv, resize_bilinear
 from vps_tpu.ops import deform_conv2d
+from vps_tpu.ops.deform_conv import deform_conv2d_windowed
 from vps_tpu.ops.losses import softmax_cross_entropy
 
 
@@ -29,6 +30,11 @@ class DeformConvWithOffset(nn.Module):
     # bf16 gathers+matmuls halve HBM traffic of the sampling (the head's
     # dominant cost); offsets and the GroupNorm that follows stay f32.
     compute_dtype: object = jnp.bfloat16
+    # When set, offsets are clamped to [-dcn_window, dcn_window] and the
+    # sampling runs through the gather-free Pallas strip kernel
+    # (ops.deform_conv2d_windowed) on TPU. None keeps the exact unclamped
+    # gather formulation.
+    dcn_window: int | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -43,15 +49,16 @@ class DeformConvWithOffset(nn.Module):
             nn.initializers.he_normal(),
             (k, k, x.shape[-1], self.features),
         )
-        if self.compute_dtype is not None:
-            out = deform_conv2d(
-                x.astype(self.compute_dtype),
-                offset,
-                weight.astype(self.compute_dtype),
-                padding=self.padding,
+        cd = self.compute_dtype
+        xc = x if cd is None else x.astype(cd)
+        wc = weight if cd is None else weight.astype(cd)
+        if self.dcn_window is not None:
+            out = deform_conv2d_windowed(
+                xc, offset, wc, self.padding, int(self.dcn_window)
             )
-            return out.astype(jnp.float32)
-        return deform_conv2d(x, offset, weight, padding=self.padding)
+        else:
+            out = deform_conv2d(xc, offset, wc, padding=self.padding)
+        return out.astype(jnp.float32) if cd is not None else out
 
 
 @PANOPTIC.register
@@ -63,6 +70,7 @@ class UPSNetFPN(nn.Module):
     num_classes: int = 19
     ignore_label: int = 255
     loss_weight: float = 1.0
+    dcn_window: int | None = None
 
     @property
     def num_stuff_classes(self):
@@ -74,9 +82,12 @@ class UPSNetFPN(nn.Module):
         (fcn_output (B, H, W, K) full-res logits, fcn_score (B, H/4, W/4, K))."""
         assert len(inputs) == self.num_levels
         tower = [
-            (DeformConvWithOffset(self.in_channels, name="dc0"), "gn0"),
-            (DeformConvWithOffset(self.out_channels, name="dc1"), "gn1"),
-            (DeformConvWithOffset(self.out_channels, name="dc2"), "gn2"),
+            (DeformConvWithOffset(self.in_channels, dcn_window=self.dcn_window,
+                                  name="dc0"), "gn0"),
+            (DeformConvWithOffset(self.out_channels, dcn_window=self.dcn_window,
+                                  name="dc1"), "gn1"),
+            (DeformConvWithOffset(self.out_channels, dcn_window=self.dcn_window,
+                                  name="dc2"), "gn2"),
         ]
         norms = [
             nn.GroupNorm(num_groups=32, name=n) for _, n in tower

@@ -20,6 +20,9 @@ three hand-written backward kernels. ``mask`` enables modulated (v2) conv.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
@@ -48,7 +51,22 @@ def deform_conv2d(
     # materializes the (B, Ho, Wo, K, Cin) sample tensor (1.2 GB at VPS
     # shapes) — measured 1.5× faster than the fused-gather formulation on
     # TPU, with the matmuls riding the MXU.
+    #
+    # When Cout < Cin (and the geometry is the simple 1:1 map), gathering
+    # commutes with the matmul: sample Y_k = X @ W_k instead of X, moving
+    # Cout channels per gathered pixel instead of Cin — gathers are the
+    # byte-bound cost on TPU, so this halves the op for the 256->128 convs
+    # of the UPSNet head.
+    gather_y = cout < cin and stride == 1 and ho == h and wo == w
+    if gather_y:
+        ymaps = jnp.einsum(
+            "bhwi,kio->kbhwo",
+            x,
+            weight.reshape(k, cin, cout),
+            preferred_element_type=x.dtype,
+        ).reshape(k, b, h * w, cout)
     flat = x.reshape(b, h * w, cin)
+    cg = cout if gather_y else cin
     ys_grid = jnp.arange(ho, dtype=x.dtype)[None, :, None] * stride - padding
     xs_grid = jnp.arange(wo, dtype=x.dtype)[None, None, :] * stride - padding
     out = jnp.zeros((b, ho, wo, cout), jnp.float32)
@@ -61,6 +79,7 @@ def deform_conv2d(
         x0 = jnp.floor(xs)
         wy = ys - y0
         wx = xs - x0
+        src = ymaps[ki] if gather_y else flat
         acc = 0.0
         for yy, xx, wgt in (
             (y0, x0, (1 - wy) * (1 - wx)),
@@ -73,20 +92,253 @@ def deform_conv2d(
                 jnp.clip(yy, 0, h - 1).astype(jnp.int32) * w
                 + jnp.clip(xx, 0, w - 1).astype(jnp.int32)
             ).reshape(b, -1)
-            vals = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(
-                b, ho, wo, cin
+            vals = jnp.take_along_axis(src, idx[..., None], axis=1).reshape(
+                b, ho, wo, cg
             )
             acc = acc + vals * (wgt * inb)[..., None]
         if mask is not None:
             acc = acc * mask[..., ki, None]
-        # keep the matmul operands in the input dtype (bf16 path rides the
-        # MXU at full rate); accumulation stays f32 via preferred_element_type
-        out = out + jnp.einsum(
-            "bhwi,io->bhwo",
-            acc.astype(x.dtype),
-            weight[ki // kw, ki % kw],
-            preferred_element_type=jnp.float32,
-        )
+        if gather_y:
+            out = out + acc
+        else:
+            # keep the matmul operands in the input dtype (bf16 path rides
+            # the MXU at full rate); accumulation stays f32 via
+            # preferred_element_type
+            out = out + jnp.einsum(
+                "bhwi,io->bhwo",
+                acc.astype(x.dtype),
+                weight[ki // kw, ki % kw],
+                preferred_element_type=jnp.float32,
+            )
     if bias is not None:
         out = out + bias
     return out
+
+
+# ---------------------------------------------------------------------------
+# Windowed (offset-clamped) deformable conv — Pallas TPU kernel.
+#
+# The exact gather formulation above is HBM-gather-bound: K·4 = 36 full-map
+# gathers per conv ≈ byte-limited at ~75 GB/s effective (measured v5e), which
+# makes the UPSNet semantic head (12 deform convs, SURVEY §2.3 row 5) the
+# most expensive block of the whole frame. With per-tap offsets clamped to a
+# static window ±R, the bilinear sample becomes a DENSE sum over the
+# (2R+2)² integer displacements with per-pixel hat weights
+#     samp_k(p) = Σ_{dy,dx} max(0,1-|Δy_k-dy|)·max(0,1-|Δx_k-dx|)·Y_k(p+k+d)
+# where Y_k = X @ W_k rides the MXU once, and every slice is STATIC — no
+# gathers at all. Each Pallas tile holds one haloed window of all 9 Y_k maps
+# in VMEM; displacement passes whose hat weights vanish on the whole tile
+# are skipped at runtime (offsets are usually ≪ R, so most passes skip).
+#
+# Numerics inside the window are EXACT w.r.t. the reference CUDA kernel
+# (bilinear with zeros outside the feature map); offsets are clip()ed to
+# [-R, R] first — the one (documented) divergence. window=None keeps the
+# exact unclamped gather path.
+# ---------------------------------------------------------------------------
+
+
+def _windowed_ref(x, offset, weight, bias=None, padding=1, window=4,
+                  mask=None):
+    """XLA reference for the windowed kernel: clamp offsets, then the exact
+    gather formulation. Also the backward path (autodiff through this is
+    the true gradient of the clamped forward)."""
+    b, h, w_, cin = x.shape
+    kh, kw, _, _ = weight.shape
+    k = kh * kw
+    off = offset.reshape(*offset.shape[:-1], k, 2)
+    off = jnp.clip(off, -float(window), float(window))
+    return deform_conv2d(
+        x, off.reshape(offset.shape), weight, bias=bias, padding=padding,
+        mask=mask,
+    )
+
+
+def _dcw_kernel(off_ref, y_hbm, out_ref, win_ref, acc_ref, sems, *,
+                R, th, tw, rh, cb, kh, kw, pad, kk, nwb):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    c = pl.program_id(2)
+    pl_lo = R + pad
+    nbk = pl.num_programs(2) * kk
+
+    # Per-(tap, col-block) haloed row strip (rh, twp, cb), double-buffered.
+    # The HBM source is pre-tiled by XLA into overlapping column blocks so
+    # the DMA slices ONE leading index + a row range with the trailing two
+    # dims (cols, channels) FULL — the only multi-dim HBM->VMEM copy shape
+    # Mosaic executes correctly here (two sliced/strided outer dims fault
+    # the DMA engine; verified empirically on v5e).
+    def cp(k, slot):
+        return pltpu.make_async_copy(
+            y_hbm.at[j * nbk + c * kk + k, pl.ds(i * th, rh)],
+            win_ref.at[slot],
+            sems.at[slot],
+        )
+
+    cp(0, 0).start()
+    off = off_ref[...].astype(jnp.float32)  # (2K, th, tw)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for ki in range(kk):
+        ky = ki // kw
+        kx = ki % kw
+        slot = ki % 2
+        if ki + 1 < kk:
+            cp(ki + 1, 1 - slot).start()
+        cp(ki, slot).wait()
+        dy_off = jnp.clip(off[2 * ki], -float(R), float(R))
+        dx_off = jnp.clip(off[2 * ki + 1], -float(R), float(R))
+        # scalar activity intervals: pass (dy, dx) can only contribute when
+        # dy in (min dy_off - 1, max dy_off + 1), same for dx, over THIS
+        # (th, tw) tile. Keeping the skip conditions scalar (and ALL
+        # per-pass vector work inside the pl.when) keeps register pressure
+        # bounded — materializing the (2R+2)^2 hat-weight maps up front
+        # spills hundreds of MB.
+        mn_y = jnp.min(dy_off)
+        mx_y = jnp.max(dy_off)
+        mn_x = jnp.min(dx_off)
+        mx_x = jnp.max(dx_off)
+        for dy in range(-R, R + 2):
+            row0 = pl_lo + dy + ky - pad
+            cy = (mn_y - 1.0 < dy) & (dy < mx_y + 1.0)
+            for dx in range(-R, R + 2):
+                col0 = pl_lo + dx + kx - pad
+                cx = (mn_x - 1.0 < dx) & (dx < mx_x + 1.0)
+
+                @pl.when(cy & cx)
+                def _(slot=slot, row0=row0, col0=col0, dy=dy, dx=dx,
+                      dy_off=dy_off, dx_off=dx_off):
+                    hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy_off - dy))
+                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(dx_off - dx))
+                    wmap = hy * hx
+                    blk = win_ref[slot, row0:row0 + th, col0:col0 + tw, :]
+                    acc_ref[...] += wmap[..., None] * blk.astype(jnp.float32)
+
+    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _deform_conv_windowed_pallas(x, offset, weight, padding, window,
+                                 th=32, tw=128):
+    """x (1, H, W, Cin) any float dtype; offset (1, H, W, 2K) f32;
+    weight (kh, kw, Cin, Cout). Returns (1, H, W, Cout) in x.dtype.
+
+    Per tap k and column block j the kernel DMAs one haloed (th+span, tw+span)
+    window of Y_k = X @ W_k from an XLA-pre-tiled HBM copy (double-buffered)
+    and accumulates the (2R+2)^2 integer-displacement passes into a f32 VMEM
+    accumulator, skipping every pass whose hat weights vanish on the whole
+    tile (offsets are locally smooth, so narrow tiles skip most passes)."""
+    import functools as _ft
+
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, h, w_, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    kk = kh * kw
+    R = int(window)
+    plo = R + padding
+    span = 2 * R + 2 * padding + 1
+
+    # tap transforms on the MXU: Y[k] = X @ W_k  (zero-padding Y ≡ padding X)
+    y = jnp.einsum(
+        "hwi,kio->khwo",
+        x[0].astype(x.dtype),
+        weight.reshape(kk, cin, cout).astype(x.dtype),
+        preferred_element_type=x.dtype,
+    )
+
+    cb = 128 if cout % 128 == 0 else cout
+    ncb = cout // cb
+    tw = min(tw, w_)
+    nwb = -(-w_ // tw)
+    th = min(th, h)
+    rh = th + span
+    # window cols padded to the HBM sublane tiling (16 covers bf16 packing)
+    twp = -(-(tw + span) // 16) * 16
+    ph = (-h) % th
+    hp = h + ph
+
+    # (kk,h,w,cout) -> (ncb*kk, rows, cols, cb) so the per-(tap, channel
+    # block) map is selected by the leading dim alone, then pre-tile the
+    # columns into nwb OVERLAPPING blocks of twp cols stacked on the leading
+    # dim (index j*ncb*kk + c*kk + k) — XLA does the halo duplication once
+    # (~(tw+span)/tw extra bytes), the kernel then only ever slices rows.
+    y = y.reshape(kk, h, w_, ncb, cb).transpose(3, 0, 1, 2, 4)
+    y = y.reshape(ncb * kk, h, w_, cb)
+    yp = jnp.pad(
+        y,
+        ((0, 0), (plo, span - plo + ph),
+         (plo, max(0, (nwb - 1) * tw + twp - plo - w_)), (0, 0)),
+    )
+    yb = jnp.concatenate(
+        [yp[:, :, j * tw:j * tw + twp] for j in range(nwb)], axis=0
+    )
+    # offsets with the 2K axis LEADING so the small axis is not a (padded)
+    # lane dim: (2K, hp, nwb*tw)
+    offp = jnp.pad(
+        offset[0].transpose(2, 0, 1),
+        ((0, 0), (0, ph), (0, nwb * tw - w_)),
+    )
+
+    kernel = _ft.partial(
+        _dcw_kernel, R=R, th=th, tw=tw, rh=rh, cb=cb, kh=kh, kw=kw,
+        pad=padding, kk=kk, nwb=nwb,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(hp // th, nwb, ncb),
+        in_specs=[
+            pl.BlockSpec((2 * kk, th, tw), lambda i, j, c: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # pre-tiled Y stays in HBM
+        ],
+        out_specs=pl.BlockSpec((th, tw, cb), lambda i, j, c: (i, j, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, nwb * tw, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, rh, twp, cb), y.dtype),
+            pltpu.VMEM((th, tw, cb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(offp, yb)
+    return out[None, :h, :w_]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def deform_conv2d_windowed(x, offset, weight, padding: int = 1,
+                           window: int = 4):
+    """Offset-clamped deformable conv (no bias/mask): offsets clipped to
+    [-window, window], then exact DCN v1 math. Pallas kernel on TPU for
+    batch-1 NHWC; XLA clamped-gather formulation elsewhere (and for the
+    backward)."""
+    if (
+        jax.devices()[0].platform == "tpu"
+        and x.ndim == 4
+        and x.shape[0] == 1
+        and x.shape[2] % 8 == 0
+        and weight.shape[-1] % 128 == 0
+    ):
+        return _deform_conv_windowed_pallas(x, offset, weight, padding, window)
+    return _windowed_ref(x, offset, weight, padding=padding, window=window)
+
+
+def _dcw_fwd(x, offset, weight, padding, window):
+    return deform_conv2d_windowed(x, offset, weight, padding, window), (
+        x, offset, weight,
+    )
+
+
+def _dcw_bwd(padding, window, res, g):
+    x, offset, weight = res
+    _, vjp = jax.vjp(
+        lambda a, o, w_: _windowed_ref(a, o, w_, padding=padding,
+                                       window=window),
+        x, offset, weight,
+    )
+    return vjp(g)
+
+
+deform_conv2d_windowed.defvjp(_dcw_fwd, _dcw_bwd)
