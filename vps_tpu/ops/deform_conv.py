@@ -51,22 +51,12 @@ def deform_conv2d(
     # materializes the (B, Ho, Wo, K, Cin) sample tensor (1.2 GB at VPS
     # shapes) — measured 1.5× faster than the fused-gather formulation on
     # TPU, with the matmuls riding the MXU.
-    #
-    # When Cout < Cin (and the geometry is the simple 1:1 map), gathering
-    # commutes with the matmul: sample Y_k = X @ W_k instead of X, moving
-    # Cout channels per gathered pixel instead of Cin — gathers are the
-    # byte-bound cost on TPU, so this halves the op for the 256->128 convs
-    # of the UPSNet head.
-    gather_y = cout < cin and stride == 1 and ho == h and wo == w
-    if gather_y:
-        ymaps = jnp.einsum(
-            "bhwi,kio->kbhwo",
-            x,
-            weight.reshape(k, cin, cout),
-            preferred_element_type=x.dtype,
-        ).reshape(k, b, h * w, cout)
+    # (A gather-from-Y variant — sampling Y_k = X @ W_k when Cout < Cin to
+    # move fewer bytes per gathered pixel — measured 7% faster in isolation
+    # but a net 4% FPS regression composed into the full FuseTrack frame:
+    # the 9 materialized tap maps blow the working set. Gathers here are
+    # index-bound on v5e (~0.6 ms / 131k indices), not byte-bound.)
     flat = x.reshape(b, h * w, cin)
-    cg = cout if gather_y else cin
     ys_grid = jnp.arange(ho, dtype=x.dtype)[None, :, None] * stride - padding
     xs_grid = jnp.arange(wo, dtype=x.dtype)[None, None, :] * stride - padding
     out = jnp.zeros((b, ho, wo, cout), jnp.float32)
@@ -79,7 +69,6 @@ def deform_conv2d(
         x0 = jnp.floor(xs)
         wy = ys - y0
         wx = xs - x0
-        src = ymaps[ki] if gather_y else flat
         acc = 0.0
         for yy, xx, wgt in (
             (y0, x0, (1 - wy) * (1 - wx)),
@@ -92,24 +81,20 @@ def deform_conv2d(
                 jnp.clip(yy, 0, h - 1).astype(jnp.int32) * w
                 + jnp.clip(xx, 0, w - 1).astype(jnp.int32)
             ).reshape(b, -1)
-            vals = jnp.take_along_axis(src, idx[..., None], axis=1).reshape(
-                b, ho, wo, cg
+            vals = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(
+                b, ho, wo, cin
             )
             acc = acc + vals * (wgt * inb)[..., None]
         if mask is not None:
             acc = acc * mask[..., ki, None]
-        if gather_y:
-            out = out + acc
-        else:
-            # keep the matmul operands in the input dtype (bf16 path rides
-            # the MXU at full rate); accumulation stays f32 via
-            # preferred_element_type
-            out = out + jnp.einsum(
-                "bhwi,io->bhwo",
-                acc.astype(x.dtype),
-                weight[ki // kw, ki % kw],
-                preferred_element_type=jnp.float32,
-            )
+        # keep the matmul operands in the input dtype (bf16 path rides the
+        # MXU at full rate); accumulation stays f32 via preferred_element_type
+        out = out + jnp.einsum(
+            "bhwi,io->bhwo",
+            acc.astype(x.dtype),
+            weight[ki // kw, ki % kw],
+            preferred_element_type=jnp.float32,
+        )
     if bias is not None:
         out = out + bias
     return out
