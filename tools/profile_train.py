@@ -1,0 +1,128 @@
+"""Train-step timing on real hardware: one FuseTrack data-parallel step at
+the reference's training crop (800×1600, imgs_per_gpu=1,
+configs/cityscapes/fusetrack.py) with synthetic data.
+
+Reference baseline for scale: Mask R-CNN R-50-FPN trains at 0.453 s/iter on
+8×V100 (docs/MODEL_ZOO.md:92); VPSNet-FuseTrack adds FlowNet2 + fuse neck +
+track head + panoptic loss on top.
+
+Usage: python tools/profile_train.py [--size 800x1600] [--iters 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="800x1600")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--max-gt", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from vps_tpu import zoo
+    from vps_tpu.models.detectors import PanopticFuseTrack
+    from vps_tpu.train import build_optimizer
+    from vps_tpu.train.step import TrainState, make_train_step
+
+    h, w = (int(v) for v in args.size.split("x"))
+    mg = args.max_gt
+
+    cfg = zoo.fusetrack_model_cfg()
+    cfg.pop("type")
+    det = PanopticFuseTrack(
+        train_cfg=zoo.fusetrack_train_cfg(), test_cfg=zoo.fusetrack_test_cfg(),
+        **cfg,
+    )
+
+    r = np.random.RandomState(0)
+    nv = 6
+    gt_bboxes = np.zeros((mg, 4), np.float32)
+    gt_valid = np.zeros((mg,), bool)
+    gt_labels = np.zeros((mg,), np.int32)
+    gt_masks = np.zeros((mg, h, w), np.float32)
+    for i in range(nv):
+        x0, y0 = r.randint(0, w - 200), r.randint(0, h - 200)
+        bw, bh = r.randint(40, 200), r.randint(40, 200)
+        gt_bboxes[i] = [x0, y0, min(x0 + bw, w - 1), min(y0 + bh, h - 1)]
+        gt_valid[i] = True
+        gt_labels[i] = r.randint(1, 9)
+        gt_masks[i, y0:y0 + bh, x0:x0 + bw] = 1.0
+    gt_pids = np.zeros((mg,), np.int32)
+    gt_pids[:nv] = np.arange(1, nv + 1)
+
+    batch = dict(
+        img=r.randn(1, h, w, 3).astype(np.float32),
+        ref_img=r.randn(1, h, w, 3).astype(np.float32),
+        gt_bboxes=gt_bboxes[None],
+        gt_labels=gt_labels[None],
+        gt_valid=gt_valid[None],
+        gt_masks=gt_masks[None],
+        gt_semantic_seg=r.randint(0, 19, (1, h, w)).astype(np.int32),
+        gt_semantic_seg_Nx=r.randint(0, 19, (1, h // 4, w // 4)).astype(np.int32),
+        gt_pids=gt_pids[None],
+        ref_bboxes=gt_bboxes[None],
+        ref_valid=gt_valid[None],
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.time()
+    variables = jax.jit(
+        lambda k: det.init(
+            {"params": k, "sampler": jax.random.PRNGKey(1)},
+            **{k2: (v[0] if k2 not in ("img", "ref_img", "gt_semantic_seg",
+                                       "gt_semantic_seg_Nx") else v)
+               for k2, v in batch.items()},
+            method=det.loss,
+        )
+    )(rng)
+    jax.block_until_ready(variables)
+    print(f"init: {time.time()-t0:.1f}s", flush=True)
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx, _ = build_optimizer(params, 0.005, momentum=0.9,
+                            weight_decay=0.0001, grad_clip=35.0)
+    state = TrainState(params, batch_stats, tx.init(params), jnp.asarray(0))
+    step = make_train_step(det, tx, donate=False)
+
+    t0 = time.time()
+    state2, logs = step(state, batch, rng)
+    # host fetch is the only trustworthy sync on the tunneled TPU
+    loss0 = float(logs["loss"])
+    print(f"compile+first step: {time.time()-t0:.1f}s  loss={loss0:.3f}",
+          flush=True)
+    for k in sorted(logs):
+        print(f"  {k:16s} {float(logs[k]):.4f}", flush=True)
+
+    ts = []
+    for i in range(args.iters):
+        t0 = time.time()
+        state2, logs = step(state, batch, rng)
+        _ = float(logs["loss"])
+        ts.append(time.time() - t0)
+    sec = min(ts)
+    print(f"train step {args.size}: {sec*1000:.0f} ms/iter "
+          f"({[f'{t*1000:.0f}' for t in ts]})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
