@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    ap.add_argument("--preset", default="exact", choices=["exact", "fast"],
+                    help="'fast' applies zoo.fast_overrides (documented "
+                         "approximations, PERF.md); metric name is suffixed")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +50,8 @@ def main():
 
     h, w = (int(v) for v in args.size.split("x"))
     cfg = zoo.fusetrack_model_cfg()
+    if args.preset == "fast":
+        cfg = zoo.fast_overrides(cfg)
     cfg.pop("type")
     det = PanopticFuseTrack(
         train_cfg=zoo.fusetrack_train_cfg(), test_cfg=zoo.fusetrack_test_cfg(),
@@ -118,7 +123,8 @@ def main():
     fps = 1.0 / dt
 
     print(json.dumps({
-        "metric": f"fusetrack_inference_fps_{h}x{w}",
+        "metric": f"fusetrack_inference_fps_{h}x{w}"
+                  + ("_fast" if args.preset == "fast" else ""),
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -238,3 +238,26 @@ def test_deform_conv_large_offsets_boundaries_match_scalar_reference():
     )
     want = _np_deform_conv(x, offset, weight, 1, 1, 1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_deform_conv_nearest_sampling():
+    # nearest = bilinear when sample positions are exactly integral; and
+    # equals bilinear-at-rounded-offsets otherwise (grid+tap are integral,
+    # so rounding the total position == rounding the offset)
+    rng = np.random.RandomState(7)
+    x = rng.randn(1, 6, 7, 3).astype(np.float32)
+    weight = rng.randn(3, 3, 3, 4).astype(np.float32)
+
+    off_int = np.round(rng.randn(1, 6, 7, 18) * 2).astype(np.float32)
+    a = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(off_int),
+                                 jnp.asarray(weight), sampling="nearest"))
+    b = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(off_int),
+                                 jnp.asarray(weight)))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    off = (rng.randn(1, 6, 7, 18) * 1.3).astype(np.float32)
+    got = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(off),
+                                   jnp.asarray(weight), sampling="nearest"))
+    off_round = np.asarray(jnp.round(jnp.asarray(off)))  # same tie rule
+    want = _np_deform_conv(x, off_round, weight, 1, 1, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -185,6 +185,7 @@ class PanopticFuseTrack(nn.Module):
                 ignore_label=p.get("ignore_label", 255),
                 loss_weight=p.get("loss_weight", 1.0),
                 dcn_window=p.get("dcn_window", None),
+                dcn_sampling=p.get("dcn_sampling", "bilinear"),
                 name="panopticFPN",
             )
         else:

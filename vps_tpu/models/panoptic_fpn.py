@@ -35,6 +35,9 @@ class DeformConvWithOffset(nn.Module):
     # (ops.deform_conv2d_windowed) on TPU. None keeps the exact unclamped
     # gather formulation.
     dcn_window: int | None = None
+    # "nearest" rounds sample positions (1 gather/tap instead of 4) — the
+    # fast-preset approximation; "bilinear" = exact reference semantics.
+    dcn_sampling: str = "bilinear"
 
     @nn.compact
     def __call__(self, x):
@@ -57,7 +60,10 @@ class DeformConvWithOffset(nn.Module):
                 xc, offset, wc, self.padding, int(self.dcn_window)
             )
         else:
-            out = deform_conv2d(xc, offset, wc, padding=self.padding)
+            out = deform_conv2d(
+                xc, offset, wc, padding=self.padding,
+                sampling=self.dcn_sampling,
+            )
         return out.astype(jnp.float32) if cd is not None else out
 
 
@@ -71,6 +77,7 @@ class UPSNetFPN(nn.Module):
     ignore_label: int = 255
     loss_weight: float = 1.0
     dcn_window: int | None = None
+    dcn_sampling: str = "bilinear"
 
     @property
     def num_stuff_classes(self):
@@ -83,10 +90,13 @@ class UPSNetFPN(nn.Module):
         assert len(inputs) == self.num_levels
         tower = [
             (DeformConvWithOffset(self.in_channels, dcn_window=self.dcn_window,
+                                  dcn_sampling=self.dcn_sampling,
                                   name="dc0"), "gn0"),
             (DeformConvWithOffset(self.out_channels, dcn_window=self.dcn_window,
+                                  dcn_sampling=self.dcn_sampling,
                                   name="dc1"), "gn1"),
             (DeformConvWithOffset(self.out_channels, dcn_window=self.dcn_window,
+                                  dcn_sampling=self.dcn_sampling,
                                   name="dc2"), "gn2"),
         ]
         norms = [

@@ -35,9 +35,15 @@ def deform_conv2d(
     padding: int = 1,
     dilation: int = 1,
     mask=None,
+    sampling: str = "bilinear",
 ):
     """x: (B, H, W, Cin); offset: (B, Ho, Wo, 2K); weight: (kh, kw, Cin, Cout);
     mask (modulation, v2): (B, Ho, Wo, K) or None. Returns (B, Ho, Wo, Cout).
+
+    sampling="nearest" rounds each sample position to the nearest pixel —
+    ONE gather per tap instead of four. A documented approximation for
+    inference-speed presets (TPU gathers are index-bound, see PERF.md);
+    "bilinear" is the reference's exact semantics.
     """
     b, h, w, cin = x.shape
     kh, kw, wcin, cout = weight.shape
@@ -69,13 +75,17 @@ def deform_conv2d(
         x0 = jnp.floor(xs)
         wy = ys - y0
         wx = xs - x0
+        if sampling == "nearest":
+            corners = ((jnp.round(ys), jnp.round(xs), jnp.ones_like(wy)),)
+        else:
+            corners = (
+                (y0, x0, (1 - wy) * (1 - wx)),
+                (y0, x0 + 1, (1 - wy) * wx),
+                (y0 + 1, x0, wy * (1 - wx)),
+                (y0 + 1, x0 + 1, wy * wx),
+            )
         acc = 0.0
-        for yy, xx, wgt in (
-            (y0, x0, (1 - wy) * (1 - wx)),
-            (y0, x0 + 1, (1 - wy) * wx),
-            (y0 + 1, x0, wy * (1 - wx)),
-            (y0 + 1, x0 + 1, wy * wx),
-        ):
+        for yy, xx, wgt in corners:
             inb = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
             idx = (
                 jnp.clip(yy, 0, h - 1).astype(jnp.int32) * w

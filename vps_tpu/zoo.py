@@ -89,6 +89,19 @@ def fusetrack_test_cfg() -> Dict[str, Any]:
     )
 
 
+def fast_overrides(cfg):
+    """Documented speed/accuracy-tradeoff preset (see PERF.md: the exact
+    pipeline is gather-index-bound on TPU). Approximations vs reference:
+    nearest-neighbour DCN sampling in the semantic head (1 gather/tap
+    instead of 4) and 1x1 in-bin RoIAlign sampling (sample_num=1)."""
+    cfg = copy.deepcopy(cfg)
+    cfg["panoptic"]["dcn_sampling"] = "nearest"
+    cfg["bbox_roi_extractor"]["roi_layer"]["sample_num"] = 1
+    if cfg.get("mask_roi_extractor"):
+        cfg["mask_roi_extractor"]["roi_layer"]["sample_num"] = 1
+    return cfg
+
+
 def tiny_overrides(cfg: Dict[str, Any]) -> Dict[str, Any]:
     """Shrink a model cfg for tests/dry-runs: ResNet-18 trunk."""
     cfg = copy.deepcopy(cfg)
