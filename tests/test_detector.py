@@ -129,3 +129,24 @@ def test_fusetrack_train_loss_and_predict():
         variables, batch["ref_img"], batch["img"], new_state, method=det.predict
     )
     assert int(state2.count) >= int(new_state.count)
+
+
+@pytest.mark.slow
+def test_fast_preset_predict_runs():
+    # zoo.fast_overrides (nearest DCN sampling, sn=1 RoIAlign, quarter-res
+    # flow) must produce a working detector with the same output contract
+    from vps_tpu import zoo
+    from vps_tpu.models import build_detector
+
+    cfg = zoo.fast_overrides(zoo.tiny_overrides(zoo.fusetrack_model_cfg()))
+    det = build_detector(cfg, train_cfg=zoo.tiny_train_cfg(),
+                         test_cfg=zoo.tiny_test_cfg())
+    img = jnp.asarray(np.random.RandomState(0).randn(1, H, W, 3), jnp.float32)
+    state = empty_track_state(cap=16)
+    variables = det.init(jax.random.PRNGKey(0), img, img, state,
+                         method=det.predict)
+    outputs, new_state = det.apply(variables, img, img, state,
+                                   method=det.predict)
+    assert "panoptic_outputs" in outputs or "det_bboxes" in outputs
+    for v in jax.tree.leaves(outputs):
+        assert np.isfinite(np.asarray(v, np.float32)).all()
