@@ -74,3 +74,49 @@ def test_predict_video_matches_frame_loop(small_det):
     np.testing.assert_array_equal(
         np.asarray(state.valid), np.asarray(tstate.valid))
     assert int(state.count) == int(tstate.count)
+
+
+def test_run_video_streams_matches_single_stream(small_det):
+    """Two videos round-robined over 2 device streams must reproduce the
+    single-stream chunked results frame-for-frame (streams never interact:
+    tracking state is per-video)."""
+    from vps_tpu.models.detectors import run_video_streams
+
+    det, variables, imgs, state0 = small_det
+    rng = np.random.RandomState(3)
+    # two videos: 4 + 3 frames
+    vids = [
+        rng.randn(4, 1, 64, 128, 3).astype(np.float32),
+        rng.randn(3, 1, 64, 128, 3).astype(np.float32),
+    ]
+
+    def frames():
+        n = 0
+        for v in vids:
+            for t in range(v.shape[0]):
+                yield v[t], t == 0, {"name": f"v{n}_f{t}"}
+            n += 1
+
+    def collect(n_streams):
+        got = {}
+
+        def record(out, meta):
+            got[meta["name"]] = out
+
+        run_video_streams(
+            det, variables, frames(), chunk=3, record=record,
+            track_cap=8, n_streams=n_streams,
+        )
+        return got
+
+    one = collect(1)
+    two = collect(2)
+    assert set(one) == set(two) == {
+        f"v{n}_f{t}" for n, v in enumerate(vids) for t in range(v.shape[0])
+    }
+    for name in one:
+        for k in one[name]:
+            np.testing.assert_allclose(
+                np.asarray(one[name][k], np.float32),
+                np.asarray(two[name][k], np.float32),
+                atol=1e-5, rtol=1e-4, err_msg=f"{name}/{k}")

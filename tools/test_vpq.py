@@ -35,6 +35,11 @@ def parse_args():
     p.add_argument("--chunk", type=int, default=8,
                    help="frames per on-device lax.scan dispatch (1 = "
                         "per-frame host loop)")
+    p.add_argument("--streams", type=int, default=0,
+                   help="parallel video streams round-robined over local "
+                        "devices (0 = one per local device; videos are "
+                        "independent, so this scales eval throughput "
+                        "near-linearly with chips)")
     return p.parse_args()
 
 
@@ -115,56 +120,22 @@ def main():
             print(f"[{done}/{len(dataset)}] {fps:.2f} fps", file=sys.stderr)
 
     if args.chunk > 1:
-        # on-device lax.scan over chunks of frames: one dispatch per chunk
-        # instead of per frame (the per-dispatch round trip can exceed the
-        # frame's compute). Video starts ride in as in-graph reset flags.
-        from vps_tpu.models.detectors import predict_video
+        # on-device lax.scan over chunks of frames, whole videos
+        # round-robined over per-device streams (vps_tpu
+        # run_video_streams): one dispatch per chunk, eval throughput
+        # scales with local devices.
+        from vps_tpu.models.detectors import run_video_streams
 
-        T = args.chunk
+        def frames():
+            for idx in range(len(dataset)):
+                img, _ref_img, meta = dataset.prepare_test(idx)
+                yield img[None], bool(meta["is_first"]), meta
 
-        @jax.jit
-        def run_chunk(variables, imgs, resets, tstate, prev_img, prev_feats):
-            return predict_video(
-                detector, variables, imgs, resets, tstate, prev_img,
-                prev_feats=prev_feats,
-                img_shape_withoutpad=shape_nopad,
-            )
-
-        tstate = state0
-        prev_img = jnp.asarray(img0[None])
-        prev_feats = None
-        buf_imgs, buf_resets, buf_meta = [], [], []
-
-        def flush():
-            nonlocal tstate, prev_img, prev_feats, buf_imgs, buf_resets, buf_meta
-            if not buf_imgs:
-                return
-            n_real = len(buf_imgs)
-            while len(buf_imgs) < T:  # pad; padded outputs are dropped
-                buf_imgs.append(buf_imgs[-1])
-                buf_resets.append(False)
-            imgs = jnp.asarray(np.stack(buf_imgs)[:, None])
-            resets = jnp.asarray(np.asarray(buf_resets))
-            if prev_feats is None:
-                prev_feats = detector.apply(
-                    variables, prev_img, method=detector.extract_feat)
-            outputs, (tstate, prev_feats, prev_img) = run_chunk(
-                variables, imgs, resets, tstate, prev_img, prev_feats)
-            outputs_np = {k: np.asarray(v) for k, v in outputs.items()}
-            for t in range(n_real):
-                record({k: v[t] for k, v in outputs_np.items()}, buf_meta[t])
-            buf_imgs, buf_resets, buf_meta = [], [], []
-
-        for idx in range(len(dataset)):
-            img, _ref_img, meta = dataset.prepare_test(idx)
-            if meta["is_first"] and buf_imgs:
-                flush()
-            buf_imgs.append(img)
-            buf_resets.append(bool(meta["is_first"]))
-            buf_meta.append(meta)
-            if len(buf_imgs) == T:
-                flush()
-        flush()
+        run_video_streams(
+            detector, variables, frames(), chunk=args.chunk, record=record,
+            img_shape_withoutpad=shape_nopad, track_cap=args.track_cap,
+            n_streams=args.streams or None,
+        )
     else:
         tstate = state0
         ref_feats = None

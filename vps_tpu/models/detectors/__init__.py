@@ -5,5 +5,6 @@ from vps_tpu.models.detectors.panoptic import (  # noqa: F401
     TrackState,
     empty_track_state,
     predict_video,
+    run_video_streams,
 )
 from vps_tpu.models.detectors.single_stage import RetinaNet, FCOS  # noqa: F401

@@ -15,6 +15,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from vps_tpu.registry import DETECTORS
@@ -686,6 +687,103 @@ def predict_video(
         step, (track_state, prev_feats, prev_img), (imgs, resets)
     )
     return outputs, (state, feats, last)
+
+
+def run_video_streams(
+    det,
+    variables,
+    frames,
+    chunk: int,
+    record,
+    img_shape_withoutpad: Optional[Tuple[int, int]] = None,
+    track_cap: int = 256,
+    n_streams: Optional[int] = None,
+    devices=None,
+):
+    """Round-robin whole videos over parallel per-device streams.
+
+    Videos are independent (tracking state is per-video), so eval throughput
+    scales near-linearly with local devices; jax's async dispatch overlaps
+    the streams' chunks. ``frames`` yields (img (1,H,W,3) float array,
+    is_first, meta); ``record(outputs_np_frame, meta)`` receives each real
+    frame's stacked predict outputs (order is chunk-grouped and interleaved
+    across streams — downstream consumers key results by name).
+
+    This is the library core of tools/test_vpq.py --streams.
+    """
+    devices = devices or jax.local_devices()
+    n_streams = n_streams or len(devices)
+    T = chunk
+
+    run_chunk = jax.jit(
+        lambda v, imgs, resets, ts, pimg, pfeats: predict_video(
+            det, v, imgs, resets, ts, pimg, prev_feats=pfeats,
+            img_shape_withoutpad=img_shape_withoutpad,
+        )
+    )
+
+    class _Stream:
+        def __init__(self, dev):
+            self.dev = dev
+            self.variables = jax.device_put(variables, dev)
+            self.tstate = jax.device_put(empty_track_state(cap=track_cap), dev)
+            self.prev_img = None
+            self.prev_feats = None
+            self.imgs = []
+            self.resets = []
+            self.meta = []
+            self.pending = []
+
+        def flush(self):
+            if not self.imgs:
+                return
+            n_real = len(self.imgs)
+            while len(self.imgs) < T:  # pad; padded outputs are dropped
+                self.imgs.append(self.imgs[-1])
+                self.resets.append(False)
+            imgs = jax.device_put(
+                jnp.asarray(np.stack(self.imgs)), self.dev)
+            resets = jax.device_put(jnp.asarray(np.asarray(self.resets)),
+                                    self.dev)
+            if self.prev_img is None:
+                self.prev_img = imgs[0]
+            if self.prev_feats is None:
+                self.prev_feats = det.apply(
+                    self.variables, self.prev_img, method=det.extract_feat)
+            outputs, (self.tstate, self.prev_feats, self.prev_img) = run_chunk(
+                self.variables, imgs, resets, self.tstate, self.prev_img,
+                self.prev_feats)
+            # async dispatch: materialize later so other streams overlap
+            self.pending.append((outputs, self.meta, n_real))
+            self.imgs, self.resets, self.meta = [], [], []
+
+        def drain(self):
+            for outputs, metas, n_real in self.pending:
+                outputs_np = {k: np.asarray(v) for k, v in outputs.items()}
+                for t in range(n_real):
+                    record({k: v[t] for k, v in outputs_np.items()}, metas[t])
+            self.pending = []
+
+    streams = [_Stream(devices[i % len(devices)]) for i in range(n_streams)]
+    cur = 0
+    nvid = 0
+    for img, is_first, meta in frames:
+        if is_first:
+            streams[cur].flush()
+            cur = nvid % n_streams
+            nvid += 1
+        st = streams[cur]
+        st.imgs.append(np.asarray(img))
+        st.resets.append(bool(is_first))
+        st.meta.append(meta)
+        if len(st.imgs) == T:
+            st.flush()
+        if sum(len(s2.pending) for s2 in streams) > 2 * n_streams:
+            for s2 in streams:
+                s2.drain()
+    for st in streams:
+        st.flush()
+        st.drain()
 
 
 @DETECTORS.register
