@@ -73,6 +73,9 @@ class BFPTcea(nn.Module):
     # halves the HBM traffic of this gather-heavy block; params stay f32 and
     # flow estimates/residual outputs return f32. None → all f32.
     compute_dtype: Optional[object] = jnp.bfloat16
+    # "nearest" quarters the two feature-warp gathers (fast preset); the
+    # reference's exact semantics is bilinear grid_sample.
+    warp_sampling: str = "bilinear"
 
     def gather(self, inputs):
         """Resize-and-average all levels to the refine level's size
@@ -108,17 +111,22 @@ class BFPTcea(nn.Module):
             compute_dtype=cd, name="tcea_fusion",
         )
 
-        warp_bsf = flow_warp(ref_bsf, flow_init).astype(ref_bsf.dtype)
+        ws = self.warp_sampling
+        warp_bsf = flow_warp(ref_bsf, flow_init,
+                             sampling=ws).astype(ref_bsf.dtype)
         flow_fine = liteflow(bsf, warp_bsf, flow_init)
-        warp_bsf = flow_warp(warp_bsf, flow_fine).astype(ref_bsf.dtype)
+        warp_bsf = flow_warp(warp_bsf, flow_fine,
+                             sampling=ws).astype(ref_bsf.dtype)
 
         if next_inputs is not None:
             next_bsf = self.gather(next_inputs)
             if cd is not None:
                 next_bsf = next_bsf.astype(cd)
-            next_warp = flow_warp(next_bsf, next_flow_init).astype(next_bsf.dtype)
+            next_warp = flow_warp(next_bsf, next_flow_init,
+                                  sampling=ws).astype(next_bsf.dtype)
             next_fine = liteflow(bsf, next_warp, next_flow_init)
-            next_warp = flow_warp(next_warp, next_fine).astype(next_bsf.dtype)
+            next_warp = flow_warp(next_warp, next_fine,
+                                  sampling=ws).astype(next_bsf.dtype)
             stack = jnp.stack([warp_bsf, bsf, next_warp], axis=1)
         else:
             stack = jnp.stack([bsf, warp_bsf], axis=1)

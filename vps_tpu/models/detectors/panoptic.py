@@ -139,6 +139,7 @@ class PanopticFuseTrack(nn.Module):
                 refine_type=e.get("refine_type", "conv"),
                 nframes=e.get("nframes", 2),
                 center=e.get("center", 0),
+                warp_sampling=e.get("warp_sampling", "bilinear"),
                 name="extra_neck",
             )
         else:

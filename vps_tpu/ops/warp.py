@@ -78,6 +78,29 @@ def _gather_bilinear_packed(img, x, y, padding_mode="zeros"):
     return top * (1 - wy) + bot * wy
 
 
+def _gather_nearest(img, x, y, padding_mode="zeros"):
+    """Nearest-pixel sampling: ONE gather instead of four. TPU gathers are
+    index-bound (PERF.md), so this quarters a warp's cost — the fast-preset
+    approximation; bilinear is the reference's exact semantics."""
+    b, h, w, c = img.shape
+    out_shape = x.shape
+    xi = jnp.round(x).astype(jnp.int32)
+    yi = jnp.round(y).astype(jnp.int32)
+    if padding_mode == "border":
+        mask = None
+    else:
+        mask = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+    xi = jnp.clip(xi, 0, w - 1)
+    yi = jnp.clip(yi, 0, h - 1)
+    flat = img.reshape(b, h * w, c)
+    idx = (yi * w + xi).reshape(b, -1)
+    vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    vals = vals.reshape(*out_shape, c)
+    if mask is not None:
+        vals = vals * mask[..., None].astype(vals.dtype)
+    return vals
+
+
 def _gather_bilinear(img, x, y, padding_mode="zeros"):
     """Sample img (B, H, W, C) at float pixel coords x, y (B, ...)."""
     b, h, w, c = img.shape
@@ -122,7 +145,8 @@ def _gather_bilinear(img, x, y, padding_mode="zeros"):
     return top * (1 - wy) + bot * wy
 
 
-def grid_sample(img, grid, align_corners=False, padding_mode="zeros"):
+def grid_sample(img, grid, align_corners=False, padding_mode="zeros",
+                sampling="bilinear"):
     """torch.nn.functional.grid_sample equivalent (bilinear).
 
     img: (B, H, W, C); grid: (B, Ho, Wo, 2) normalized coords in [-1, 1],
@@ -136,10 +160,12 @@ def grid_sample(img, grid, align_corners=False, padding_mode="zeros"):
     else:
         x = ((gx + 1.0) * w - 1.0) * 0.5
         y = ((gy + 1.0) * h - 1.0) * 0.5
+    if sampling == "nearest":
+        return _gather_nearest(img, x, y, padding_mode=padding_mode)
     return _gather_bilinear(img, x, y, padding_mode=padding_mode)
 
 
-def flow_warp(x, flow, align_corners=False):
+def flow_warp(x, flow, align_corners=False, sampling="bilinear"):
     """Warp ``x`` by ``flow`` exactly as the reference's `WarpingLayer`
     (flow_modules.py:131-152): a linspace(-1, 1) base grid plus flow
     normalized by (size-1)/2, passed through grid_sample with torch-1.4
@@ -150,7 +176,8 @@ def flow_warp(x, flow, align_corners=False):
     gx = base_x + flow[..., 0] / ((w - 1.0) / 2.0)
     gy = base_y + flow[..., 1] / ((h - 1.0) / 2.0)
     grid = jnp.stack([gx, gy], axis=-1)
-    return grid_sample(x, grid, align_corners=align_corners, padding_mode="zeros")
+    return grid_sample(x, grid, align_corners=align_corners,
+                       padding_mode="zeros", sampling=sampling)
 
 
 def resample2d(x, flow):

@@ -103,6 +103,8 @@ def fast_overrides(cfg):
     # LiteFlowNetCorr refines residual flow, so coarse initial flow costs
     # little accuracy while cutting the 162M-param cascade 4x further
     cfg["flow_input_scale"] = 0.25
+    # nearest feature warping in the fuse neck (2 warps, 4 gathers -> 1 each)
+    cfg["extra_neck"]["warp_sampling"] = "nearest"
     return cfg
 
 
