@@ -69,7 +69,10 @@ def fusetrack_train_cfg() -> Dict[str, Any]:
             mask_size=28, pos_weight=-1,
         ),
         loss_pano_weight=0.5,
-        class_mapping={i: i + 10 for i in range(1, 9)},
+        # NOTE: the reference's class_mapping {thing i -> panoptic 10+i}
+        # (tools/config yaml) is hard-coded arithmetic in the detector;
+        # int-keyed dicts must NOT ride in flax module attributes (they
+        # break module cloning via flax's flatten_dict path join).
     )
 
 
@@ -85,7 +88,6 @@ def fusetrack_test_cfg() -> Dict[str, Any]:
                       bbox_reg_weights=(10.0, 10.0, 5.0, 5.0),
                       stuff_area_limit=2048),
         loss_pano_weight=None,
-        class_mapping={i: i + 10 for i in range(1, 9)},
     )
 
 
