@@ -265,6 +265,10 @@ def build_dataset(cfg: Dict[str, Any]):
         return ds
     if t == "ConcatDataset":
         return ConcatDataset([build_dataset(c) for c in cfg["datasets"]])
-    cfg.pop("pipeline", None)
+    # mm-style list-of-dict pipeline configs are not supported (the fixed
+    # Train/TestPipeline replaces them) — but a constructed pipeline object
+    # passes through
+    if not callable(cfg.get("pipeline")):
+        cfg.pop("pipeline", None)
     cls = DATASETS.get(t) or CityscapesVPSDataset
     return cls(**cfg)
