@@ -308,3 +308,23 @@ def test_flow_to_rgb():
     fl[:4, :, 0] = 1.0
     img = F.flow_to_rgb(fl)
     assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+
+
+def test_all_shipped_configs_build_detectors():
+    # every config file must load through Config.fromfile and build its
+    # detector (catches config drift and flax-attribute constraints like
+    # the int-keyed class_mapping regression)
+    import glob
+    import os.path as osp
+
+    from vps_tpu.config import Config
+    from vps_tpu.models import build_detector
+
+    root = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    files = sorted(glob.glob(osp.join(root, "configs", "*", "*.py")))
+    assert len(files) >= 5
+    for f in files:
+        cfg = Config.fromfile(f)
+        det = build_detector(cfg.model, train_cfg=cfg.train_cfg,
+                             test_cfg=cfg.test_cfg)
+        assert det is not None, f

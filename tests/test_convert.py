@@ -228,3 +228,22 @@ def _fake_torch_sd():
         add_conv(f"extra_neck.tcea_fusion.{tname}", o, i, k)
     add_conv("extra_neck.refine.conv", 256, 256, 3)
     return sd
+
+
+def test_checkpoint_train_payload_loads_into_inference_template(tmp_path):
+    # a training checkpoint (params+opt_state+batch_stats) must restore into
+    # a params-only template — what tools/test_vpq.py does with Runner output
+    import jax.numpy as jnp
+    from vps_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+    params = {"head": {"w": jnp.arange(6.0).reshape(2, 3)}}
+    opt_state = {"mu": {"head": {"w": jnp.zeros((2, 3))}}}
+    path = save_checkpoint(str(tmp_path), 7, params, opt_state=opt_state,
+                           batch_stats={})
+    out = load_checkpoint(path, {
+        "params": {"head": {"w": jnp.zeros((2, 3))}},
+        "batch_stats": {},
+    })
+    np.testing.assert_array_equal(np.asarray(out["params"]["head"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    assert "opt_state" not in out

@@ -63,6 +63,11 @@ class CityscapesVPSDataset:
         self.ref_img_ids = set(self.ref_coco.img_ids)
         self.iid2info = {info["id"]: info for info in self.img_infos}
         self.semantic2label = semantic2label
+        if isinstance(pipeline, dict):
+            # config-file form: pipeline=dict(img_scale=..., crop_size=...)
+            # mirrors the reference configs' per-dataset pipeline settings
+            cls = TestPipeline if test_mode else TrainPipeline
+            pipeline = cls(**pipeline)
         if test_mode:
             self.pipeline = pipeline or TestPipeline()
         else:
@@ -265,10 +270,10 @@ def build_dataset(cfg: Dict[str, Any]):
         return ds
     if t == "ConcatDataset":
         return ConcatDataset([build_dataset(c) for c in cfg["datasets"]])
-    # mm-style list-of-dict pipeline configs are not supported (the fixed
-    # Train/TestPipeline replaces them) — but a constructed pipeline object
-    # passes through
-    if not callable(cfg.get("pipeline")):
+    # pipeline: a constructed Train/TestPipeline object or a kwargs dict
+    # passes through; mm-style list-of-dict configs are not supported (the
+    # fixed Train/TestPipeline replaces them)
+    if not (callable(cfg.get("pipeline")) or isinstance(cfg.get("pipeline"), dict)):
         cfg.pop("pipeline", None)
     cls = DATASETS.get(t) or CityscapesVPSDataset
     return cls(**cfg)

@@ -70,8 +70,25 @@ def latest_checkpoint(work_dir: str) -> Optional[str]:
 
 
 def load_checkpoint(path: str, target=None):
-    """Restore a checkpoint. ``target``: a pytree of like-shaped arrays
-    (required for exact dtype/sharding restoration); None restores as saved."""
+    """Restore a checkpoint. ``target``: a pytree of like-shaped arrays;
+    None restores as saved.
+
+    Lenient at the TOP level: a training checkpoint (params + opt_state +
+    batch_stats) loads into an inference template (params only) — the
+    reference's load_checkpoint(strict=False) behavior that the test tools
+    rely on. Unknown template keys fall back to the template's own values
+    (e.g. a model with batch_stats restoring a checkpoint without them).
+    """
     ckptr = ocp.StandardCheckpointer()
     path = osp.abspath(path)
-    return ckptr.restore(path, target)
+    if target is None:
+        return ckptr.restore(path)
+    try:
+        return ckptr.restore(path, target)
+    except ValueError:
+        raw = ckptr.restore(path)
+        out = dict(target)
+        for k in target:
+            if k in raw and raw[k] is not None:
+                out[k] = raw[k]
+        return out
