@@ -25,14 +25,14 @@ SKY = next(c for c in CATEGORIES if c["name"] == "sky")
 CAR = next(c for c in CATEGORIES if c["name"] == "car")
 
 
-def _write_raw(root, mode="val"):
+def _write_raw(root, mode="val", nframes=2):
     cls_dir = os.path.join(root, mode, "cls")
     inst_dir = os.path.join(root, mode, "inst")
     os.makedirs(cls_dir, exist_ok=True)
     os.makedirs(inst_dir, exist_ok=True)
     # 2 videos x 2 frames; image id = VVVV_FFFF_..., video = first 4 chars
     for vid in ("0001", "0002"):
-        for t in range(2):
+        for t in range(nframes):
             name = f"{vid}_{t:04d}_city_gtFine_color.png"
             sem = np.zeros((H, W, 3), np.uint8)
             sem[:32] = SKY["color"]
