@@ -19,3 +19,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: the suite's big graphs (train step, predict,
+# video scan) dominate wall-clock; warm reruns cut ~40 min to minutes
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
