@@ -1,0 +1,112 @@
+"""Aug-test (TTA) merge path: detector.predict_aug implements the
+reference's test_mixins.py:43-110 + core/post_processing/merge_augs.py
+semantics (proposal NMS-merge, box/score averaging, ROI-space mask unflip,
+semantic logit mean) on static shapes.
+
+The strongest check available with random weights: a SINGLE identity
+variant must reduce every merge to a no-op, so predict_aug(V=1) must
+reproduce predict() exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vps_tpu import zoo
+from vps_tpu.models.detectors import PanopticFuseTrack, empty_track_state
+from vps_tpu.ops.box import bbox_flip
+
+H, W = 64, 128
+
+
+def _detector():
+    cfg = zoo.tiny_overrides(zoo.fusetrack_model_cfg())
+    cfg.pop("type")
+    return PanopticFuseTrack(
+        train_cfg=zoo.tiny_train_cfg(), test_cfg=zoo.tiny_test_cfg(), **cfg
+    )
+
+
+def _init(det, img):
+    state = empty_track_state(cap=16)
+    variables = det.init(
+        {"params": jax.random.PRNGKey(0)}, img, img, state,
+        method=det.predict,
+    )
+    return variables, state
+
+
+def test_box_map_roundtrip():
+    boxes = jnp.asarray(
+        [[10.0, 5.0, 40.0, 30.0], [0.0, 0.0, 20.0, 20.0]])
+    for flip in (False, True):
+        for ratio in (1.0, 0.5):
+            into = PanopticFuseTrack._map_boxes_into(
+                boxes, flip, ratio, (H, W))
+            back = PanopticFuseTrack._map_boxes_back(
+                into, flip, ratio, (H, W))
+            np.testing.assert_allclose(np.asarray(back), np.asarray(boxes),
+                                       atol=1e-5)
+    # flip convention matches bbox_flip (legacy -1)
+    f = np.asarray(bbox_flip(boxes, (H, W)))
+    assert f[0, 0] == W - boxes[0, 2] - 1
+
+
+def test_predict_aug_single_identity_variant_matches_predict():
+    det = _detector()
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(1, H, W, 3), jnp.float32)
+    ref = jnp.asarray(rng.randn(1, H, W, 3), jnp.float32)
+    variables, state = _init(det, img)
+
+    out_plain, st_plain = det.apply(
+        variables, img, ref, state, method=det.predict)
+    metas = (dict(flip=False, scale_ratio=1.0, img_shape=(H, W)),)
+    out_aug, st_aug = det.apply(
+        variables, img[None], ref[None], state, metas,
+        method=det.predict_aug)
+
+    # aug_test(V=1) is NOT bit-identical to simple_test even in the
+    # reference: merge_aug_proposals re-NMSes the proposal pool ACROSS
+    # levels (merge_augs.py:30-37), while the simple path NMSes per level
+    # (nms_across_levels=False). So assert near-agreement + the parts that
+    # must be exact.
+    # semantic path has no NMS dependence → exact
+    np.testing.assert_array_equal(
+        np.asarray(out_plain["fcn_outputs"]), np.asarray(out_aug["fcn_outputs"]))
+    assert abs(int(out_plain["num_keep"]) - int(out_aug["num_keep"])) <= 2
+    pp = np.asarray(out_plain["panoptic_outputs"])
+    pa = np.asarray(out_aug["panoptic_outputs"])
+    assert (pp == pa).mean() > 0.8
+    # any disagreement must come from differing instance channels (the
+    # re-NMSed det set), never from the stuff/semantic path
+    diff = pp != pa
+    num_stuff = 11
+    assert np.all((pp[diff] >= num_stuff) | (pa[diff] >= num_stuff))
+    # both paths produce dets; valid counts close
+    assert abs(int(np.asarray(out_plain["det_valid"]).sum())
+               - int(np.asarray(out_aug["det_valid"]).sum())) <= 2
+    assert np.asarray(st_aug.valid).sum() >= 1
+
+
+def test_predict_aug_flip_variant_runs_and_merges():
+    det = _detector()
+    rng = np.random.RandomState(1)
+    img = rng.randn(1, H, W, 3).astype(np.float32)
+    ref = rng.randn(1, H, W, 3).astype(np.float32)
+    variables, state = _init(det, jnp.asarray(img))
+
+    imgs = jnp.asarray(np.stack([img, img[:, :, ::-1]]))
+    refs = jnp.asarray(np.stack([ref, ref[:, :, ::-1]]))
+    metas = (
+        dict(flip=False, scale_ratio=1.0, img_shape=(H, W)),
+        dict(flip=True, scale_ratio=1.0, img_shape=(H, W)),
+    )
+    out, new_state = det.apply(
+        variables, imgs, refs, state, metas, method=det.predict_aug)
+    assert out["panoptic_outputs"].shape == (H, W)
+    assert out["fcn_outputs"].shape == (H, W)
+    dv = np.asarray(out["det_valid"])
+    boxes = np.asarray(out["det_bboxes"])[dv]
+    if boxes.size:
+        assert boxes[:, 0].min() >= 0 and boxes[:, 2].max() <= W - 1
+    assert np.isfinite(np.asarray(out["panoptic_cls_prob"])).all()

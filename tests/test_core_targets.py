@@ -163,3 +163,130 @@ def test_proposal_target_with_masks_and_pids():
     mt = np.asarray(t.mask_targets)
     for i in range(min(npos, 8)):
         assert mt[i].mean() > 0.5
+
+
+# -- config-dispatched samplers/assigners (reference registry `type=`
+# semantics, mmdet/core/bbox/samplers/__init__.py) ---------------------
+
+def _dispatch_fixture():
+    rng = np.random.RandomState(3)
+    p = 80
+    proposals = np.concatenate(
+        [rng.uniform(0, 60, (p, 2)), np.zeros((p, 2))], -1
+    ).astype(np.float32)
+    proposals[:, 2:] = proposals[:, :2] + rng.uniform(8, 30, (p, 2))
+    gts = _boxes([[10, 10, 30, 30], [40, 40, 70, 70]])
+    gt_labels = jnp.asarray([2, 7])
+    return jnp.asarray(proposals), gts, gt_labels
+
+
+def _run_with_sampler(sampler_cfg, loss_fn=None):
+    proposals, gts, gt_labels = _dispatch_fixture()
+    cfg = dict(
+        assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                      neg_iou_thr=0.5, min_pos_iou=0.5),
+        sampler=sampler_cfg,
+    )
+    return proposal_target(
+        jax.random.PRNGKey(4),
+        proposals,
+        jnp.ones((proposals.shape[0],), bool),
+        gts,
+        gt_labels,
+        jnp.ones((2,), bool),
+        cfg,
+        loss_fn=loss_fn,
+    )
+
+
+def test_sampler_config_dispatch_switches_behavior():
+    """A config `type=` change ALONE selects the sampler — no code change."""
+    base = dict(num=16, pos_fraction=0.25)
+    t_rand = _run_with_sampler(dict(type="RandomSampler", **base))
+    t_inst = _run_with_sampler(
+        dict(type="InstanceBalancedPosSampler", **base))
+    t_iou = _run_with_sampler(dict(type="IoUBalancedNegSampler", **base))
+    t_comb = _run_with_sampler(dict(type="CombinedSampler", **base))
+    for t in (t_rand, t_inst, t_iou, t_comb):
+        assert t.rois.shape == (16, 4)
+        assert int(t.num_pos) >= 2
+    # default type omitted == RandomSampler
+    t_default = _run_with_sampler(dict(**base))
+    assert t_default.rois.shape == (16, 4)
+
+
+def test_sampler_config_dispatch_ohem():
+    """OHEMSampler picks the HARDEST candidates by the supplied loss."""
+    proposals, gts, gt_labels = _dispatch_fixture()
+    n_cand = proposals.shape[0] + 2
+
+    hard = np.zeros((n_cand,), np.float32)
+    hard[5] = 100.0  # make candidate 5 maximally hard
+
+    def loss_fn(cand, cand_valid, assign):
+        assert cand.shape[0] == n_cand
+        return jnp.asarray(hard)
+
+    t = _run_with_sampler(
+        dict(type="OHEMSampler", num=16, pos_fraction=0.25), loss_fn=loss_fn)
+    # the hardest candidate must be among the sampled rois
+    cand5 = np.asarray(proposals)[5]
+    rois = np.asarray(t.rois)
+    assert np.any(np.all(np.isclose(rois, cand5[None], atol=1e-5), axis=1))
+
+
+def test_sampler_unknown_type_raises():
+    import pytest
+
+    with pytest.raises(KeyError):
+        _run_with_sampler(dict(type="NopeSampler", num=16, pos_fraction=0.25))
+
+
+def test_ohem_train_smoke():
+    """One FuseTrack train loss step with sampler switched to OHEM purely
+    via config (reference ohem_sampler.py hard-mining path)."""
+    from vps_tpu import zoo
+    from vps_tpu.models.detectors import PanopticFuseTrack
+
+    cfg = zoo.tiny_overrides(zoo.fusetrack_model_cfg())
+    cfg.pop("type")
+    train_cfg = zoo.tiny_train_cfg()
+    train_cfg["rcnn"] = dict(train_cfg["rcnn"])
+    train_cfg["rcnn"]["sampler"] = dict(
+        train_cfg["rcnn"]["sampler"], type="OHEMSampler")
+    det = PanopticFuseTrack(
+        train_cfg=train_cfg, test_cfg=zoo.tiny_test_cfg(), **cfg)
+
+    h, w, max_gt = 64, 128, 4
+    rng = np.random.RandomState(0)
+    gt_bboxes = np.zeros((max_gt, 4), np.float32)
+    gt_bboxes[0] = [8, 8, 40, 40]
+    gt_valid = np.zeros((max_gt,), bool)
+    gt_valid[0] = True
+    gt_labels = np.zeros((max_gt,), np.int32)
+    gt_labels[0] = 1
+    gt_masks = np.zeros((max_gt, h, w), np.float32)
+    gt_masks[0, 8:41, 8:41] = 1
+
+    losses = det.init_with_output(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        img=jnp.asarray(rng.randn(1, h, w, 3), jnp.float32),
+        ref_img=jnp.asarray(rng.randn(1, h, w, 3), jnp.float32),
+        gt_bboxes=jnp.asarray(gt_bboxes),
+        gt_labels=jnp.asarray(gt_labels),
+        gt_valid=jnp.asarray(gt_valid),
+        gt_masks=jnp.asarray(gt_masks),
+        gt_semantic_seg=jnp.asarray(
+            rng.randint(0, 19, (1, h, w)), jnp.int32),
+        gt_semantic_seg_Nx=jnp.asarray(
+            rng.randint(0, 19, (1, h // 4, w // 4)), jnp.int32),
+        gt_pids=jnp.asarray(np.where(gt_valid, 1, 0), jnp.int32),
+        ref_bboxes=jnp.asarray(gt_bboxes),
+        ref_valid=jnp.asarray(gt_valid),
+        method=det.loss,
+    )[0]
+    total = sum(
+        float(v) for k, v in losses.items()
+        if k.startswith("loss_")
+    )
+    assert np.isfinite(total)

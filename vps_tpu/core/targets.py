@@ -12,10 +12,102 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from vps_tpu.core.assigner import max_iou_assign
-from vps_tpu.core.sampler import random_sample
+from vps_tpu.core.assigner import approx_max_iou_assign, max_iou_assign
+from vps_tpu.core.sampler import (
+    combined_sample,
+    instance_balanced_sample,
+    iou_balanced_neg_sample,
+    ohem_sample,
+    pseudo_sample,
+    random_sample,
+)
 from vps_tpu.ops.box import bbox2delta
 from vps_tpu.ops.mask import crop_and_resize_indexed
+
+
+def assign_from_cfg(
+    cfg,
+    bboxes,
+    gt_bboxes,
+    gt_labels=None,
+    gt_pids=None,
+    bbox_valid=None,
+    gt_valid=None,
+):
+    """Registry-style ``type=`` dispatch over assigners (reference
+    mmdet/core/bbox/assigners/__init__.py via build_assigner). Default =
+    MaxIoUAssigner, the only assigner the VPS configs use."""
+    typ = cfg.get("type", "MaxIoUAssigner")
+    if typ == "MaxIoUAssigner":
+        return max_iou_assign(
+            bboxes,
+            gt_bboxes,
+            pos_iou_thr=cfg["pos_iou_thr"],
+            neg_iou_thr=cfg["neg_iou_thr"],
+            min_pos_iou=cfg.get("min_pos_iou", 0.0),
+            gt_labels=gt_labels,
+            gt_pids=gt_pids,
+            bbox_valid=bbox_valid,
+            gt_valid=gt_valid,
+            gt_max_assign_all=cfg.get("gt_max_assign_all", True),
+        )
+    if typ == "ApproxMaxIoUAssigner":
+        if gt_pids is not None:
+            raise NotImplementedError(
+                "ApproxMaxIoUAssigner carries no pid plumbing "
+                "(reference approx_max_iou_assigner.py has none)"
+            )
+        return approx_max_iou_assign(
+            bboxes,
+            gt_bboxes,
+            pos_iou_thr=cfg["pos_iou_thr"],
+            neg_iou_thr=cfg["neg_iou_thr"],
+            min_pos_iou=cfg.get("min_pos_iou", 0.0),
+            approxs_per_octave=cfg.get("approxs_per_octave", 1),
+            gt_labels=gt_labels,
+            bbox_valid=bbox_valid,
+            gt_valid=gt_valid,
+        )
+    raise KeyError(f"unknown assigner type {typ!r}")
+
+
+def sample_from_cfg(key, cfg, assign, loss_fn=None):
+    """Registry-style ``type=`` dispatch over samplers (reference
+    mmdet/core/bbox/samplers/__init__.py via build_sampler). ``loss_fn``:
+    per-candidate loss callback required by OHEMSampler (its hard-mining
+    forward, reference ohem_sampler.py:20-38); called as
+    loss_fn(assign) -> (N,) losses."""
+    typ = cfg.get("type", "RandomSampler")
+    num = cfg["num"]
+    pf = cfg["pos_fraction"]
+    gi = assign.assigned_gt_inds
+    if typ == "RandomSampler":
+        return random_sample(key, gi, num, pf)
+    if typ == "PseudoSampler":
+        return pseudo_sample(gi, num)
+    if typ == "OHEMSampler":
+        if loss_fn is None:
+            raise ValueError(
+                "OHEMSampler needs a hard-mining loss_fn (the detector "
+                "passes its preliminary bbox-head forward)"
+            )
+        return ohem_sample(gi, loss_fn(assign), num, pf)
+    if typ == "InstanceBalancedPosSampler":
+        return instance_balanced_sample(key, gi, num, pf)
+    if typ == "IoUBalancedNegSampler":
+        return iou_balanced_neg_sample(
+            key,
+            gi,
+            assign.max_overlaps,
+            num,
+            pf,
+            floor_thr=cfg.get("floor_thr", -1.0),
+            floor_fraction=cfg.get("floor_fraction", 0.0),
+            num_bins=cfg.get("num_bins", 3),
+        )
+    if typ == "CombinedSampler":
+        return combined_sample(key, gi, assign.max_overlaps, num, pf)
+    raise KeyError(f"unknown sampler type {typ!r}")
 
 
 class AnchorTargets(NamedTuple):
@@ -55,18 +147,15 @@ def anchor_target(
         & (flat_anchors[:, 2] < w + border)
         & (flat_anchors[:, 3] < h + border)
     )
-    a = cfg["assigner"]
-    assign = max_iou_assign(
+    assign = assign_from_cfg(
+        cfg["assigner"],
         flat_anchors,
         gt_bboxes,
-        pos_iou_thr=a["pos_iou_thr"],
-        neg_iou_thr=a["neg_iou_thr"],
-        min_pos_iou=a["min_pos_iou"],
         bbox_valid=inside,
         gt_valid=gt_valid,
     )
     s = cfg["sampler"]
-    sample = random_sample(key, assign.assigned_gt_inds, s["num"], s["pos_fraction"])
+    sample = sample_from_cfg(key, s, assign)
 
     inds = sample.inds
     slot_pos = sample.pos_mask
@@ -130,20 +219,20 @@ def proposal_target(
     gt_masks=None,
     target_means=(0.0, 0.0, 0.0, 0.0),
     target_stds=(0.1, 0.1, 0.2, 0.2),
+    loss_fn=None,
 ) -> SampledRois:
     """RCNN sampling + targets for ONE image (two_stage/panoptic detectors'
     assign→sample→bbox_target pipeline, incl. the pid/id targets of
     bbox_id_target and 28×28 mask targets). gt boxes are appended as
-    proposal candidates (sampler add_gt_as_proposals=True)."""
+    proposal candidates (sampler add_gt_as_proposals=True). ``loss_fn``
+    (OHEMSampler only): loss_fn(cand_boxes, cand_valid, assign) -> (N,)
+    per-candidate hard-mining losses."""
     cand = jnp.concatenate([proposals, gt_bboxes], axis=0)
     cand_valid = jnp.concatenate([proposal_valid, gt_valid], axis=0)
-    a = cfg["assigner"]
-    assign = max_iou_assign(
+    assign = assign_from_cfg(
+        cfg["assigner"],
         cand,
         gt_bboxes,
-        pos_iou_thr=a["pos_iou_thr"],
-        neg_iou_thr=a["neg_iou_thr"],
-        min_pos_iou=a["min_pos_iou"],
         gt_labels=gt_labels,
         gt_pids=gt_pids,
         bbox_valid=cand_valid,
@@ -151,7 +240,10 @@ def proposal_target(
     )
     s = cfg["sampler"]
     num = s["num"]
-    sample = random_sample(key, assign.assigned_gt_inds, num, s["pos_fraction"])
+    ohem_loss_fn = None
+    if loss_fn is not None:
+        ohem_loss_fn = lambda a_: loss_fn(cand, cand_valid, a_)  # noqa: E731
+    sample = sample_from_cfg(key, s, assign, loss_fn=ohem_loss_fn)
 
     inds = sample.inds
     pos = sample.pos_mask

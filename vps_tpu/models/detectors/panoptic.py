@@ -31,13 +31,16 @@ from vps_tpu.models.flow.flownet2 import FlowNet2
 from vps_tpu.models.layers import resize_bilinear
 from vps_tpu.models.detectors.panoptic_ops import (
     TrackState,
+    delta2bbox_upsnet,
     empty_track_state,
     mask_removal_and_fuse,
     panoptic_dets,
+    panoptic_dets_from_decoded,
     track_assign,
     _paste_logit_window,
     _seg_window,
 )
+from vps_tpu.ops.nms import NEG_INF, nms as nms_op
 from vps_tpu.ops import multilevel_roi_align, bbox_overlaps
 from vps_tpu.ops.anchors import AnchorGenerator, valid_flags as anchor_valid_flags
 from vps_tpu.ops.losses import (
@@ -132,7 +135,12 @@ class PanopticFuseTrack(nn.Module):
         if self.extra_neck is not None:
             e = dict(self.extra_neck)
             cls = BFPTceaMulti if e.get("type") == "BFPTceaMulti" else BFPTcea
+            # plumbed like the backbone knob; bf16 stays the default but
+            # configs can recover reference-exact f32 via compute_dtype
+            _ecd = {None: _jnp.bfloat16, "bfloat16": _jnp.bfloat16,
+                    "float32": None}[e.get("compute_dtype", None)]
             self.extra_neck_m = cls(
+                compute_dtype=_ecd,
                 in_channels=e.get("in_channels", 256),
                 num_levels=e.get("num_levels", 5),
                 refine_level=e.get("refine_level", 0),
@@ -375,6 +383,23 @@ class PanopticFuseTrack(nn.Module):
 
         # sample rois + targets
         rc = tc["rcnn"]
+        ohem_loss_fn = None
+        if rc.get("sampler", {}).get("type") == "OHEMSampler":
+            # OHEM hard-mining forward (reference ohem_sampler.py:20-38):
+            # run the bbox head over ALL candidates with current weights and
+            # rank by per-candidate CE loss; no grads flow through ranking.
+            def ohem_loss_fn(cand, cand_valid, assign):
+                feats = self._roi_feats(x, cand, 7, valid=cand_valid)
+                scores, _ = self.bbox_head_m(feats)
+                lbl = jnp.where(
+                    assign.assigned_gt_inds > 0,
+                    assign.labels if assign.labels is not None else 0,
+                    0,
+                )
+                logp = jax.nn.log_softmax(scores, axis=-1)
+                ce = -jnp.take_along_axis(logp, lbl[:, None], axis=-1)[:, 0]
+                return jax.lax.stop_gradient(ce)
+
         st = proposal_target(
             self.make_rng("sampler"),
             proposals,
@@ -387,6 +412,7 @@ class PanopticFuseTrack(nn.Module):
             gt_masks=gt_masks,
             target_means=self.bbox_head_m.target_means,
             target_stds=self.bbox_head_m.target_stds,
+            loss_fn=ohem_loss_fn,
         )
 
         # bbox head
@@ -633,6 +659,237 @@ class PanopticFuseTrack(nn.Module):
             "fpn_feats": tuple(plain_x),
         }
         return outputs, new_state
+
+    def predict_aug(
+        self,
+        imgs,
+        ref_imgs,
+        track_state: TrackState,
+        aug_metas: Tuple[Dict[str, Any], ...],
+        img_shape_withoutpad: Optional[Tuple[int, int]] = None,
+    ):
+        """Test-time-augmented FuseTrack inference: the reference's aug-test
+        merge semantics (test_mixins.py:43-110 aug_test_rpn/aug_test_bboxes,
+        core/post_processing/merge_augs.py merge_aug_proposals/bboxes/masks/
+        semantic_segms) composed with predict()'s panoptic fusion + tracking
+        tail.
+
+        imgs / ref_imgs: (V, 1, H, W, 3) — every variant rides ONE padded
+        canvas (smaller scales occupy the top-left corner). aug_metas: a
+        STATIC tuple of per-variant dicts with `flip` (bool),
+        `scale_ratio` (variant scale / canonical scale) and `img_shape`
+        ((h_v, w_v) valid content region). Variant 0 must be the canonical
+        unflipped scale_ratio=1 variant — merged detections, semantic
+        logits, tracking and panoptic outputs all live in its frame.
+        """
+        tcfg = self.test_cfg
+        v_count = imgs.shape[0]
+        assert len(aug_metas) == v_count
+        m0 = aug_metas[0]
+        assert not m0.get("flip", False) and m0.get("scale_ratio", 1.0) == 1.0
+        h, w = imgs.shape[2:4]
+        h0, w0 = m0.get("img_shape", (h, w))
+
+        rcfg = tcfg["rpn"]
+        nms_pre = rcfg.get("nms_pre", 1000)
+        max_num = rcfg.get("max_num", 1000)
+
+        feats = []
+        fcn_sum = None
+        all_props, all_scores, all_valid = [], [], []
+        for v in range(v_count):
+            meta = aug_metas[v]
+            flip = bool(meta.get("flip", False))
+            ratio = float(meta.get("scale_ratio", 1.0))
+            hv, wv = meta.get("img_shape", (h, w))
+            x_v, _, _ = self._fused_feats(imgs[v], ref_imgs[v])
+            feats.append(x_v)
+
+            # merge_aug_semantic_segms: unflip, resize the valid region to
+            # the canonical frame, mean of logits
+            fcn_v, _ = self.panoptic_m(list(x_v[: self.panoptic_m.num_levels]))
+            fcn_v = fcn_v[0]
+            if flip:
+                # the pipeline flips the padded canvas, so one full-canvas
+                # unflip restores content to [0, wv) exactly
+                fcn_v = fcn_v[:, ::-1, :]
+            if (hv, wv) != (h0, w0):
+                fcn_v = resize_bilinear(fcn_v[None, :hv, :wv, :], (h0, w0))[0]
+                pad_h, pad_w = h - h0, w - w0
+                fcn_v = jnp.pad(fcn_v, ((0, pad_h), (0, pad_w), (0, 0)))
+            fcn_sum = fcn_v if fcn_sum is None else fcn_sum + fcn_v
+
+            # aug_test_rpn: per-variant proposals mapped back to canonical
+            cls_outs, reg_outs = self.rpn_head_m(x_v)
+            props, scores, pvalid = rpn_proposals(
+                [c[0] for c in cls_outs],
+                [r[0] for r in reg_outs],
+                self._anchors_for(cls_outs),
+                (hv, wv),
+                nms_pre=nms_pre,
+                nms_thr=rcfg.get("nms_thr", 0.7),
+                max_num=max_num,
+            )
+            props = self._map_boxes_back(props, flip, ratio, (h, w))
+            all_props.append(props)
+            all_scores.append(scores)
+            all_valid.append(pvalid)
+
+        fcn_output = (fcn_sum / v_count)[None]
+
+        # merge_aug_proposals: concat recovered proposals → NMS → top max_num
+        cat_p = jnp.concatenate(all_props, axis=0)
+        cat_s = jnp.concatenate(all_scores, axis=0)
+        cat_v = jnp.concatenate(all_valid, axis=0)
+        keep = nms_op(cat_p, jnp.where(cat_v, cat_s, 0.0),
+                      rcfg.get("nms_thr", 0.7), valid=cat_v)
+        kept_s = jnp.where(keep, cat_s, NEG_INF)
+        top_s, top_i = jax.lax.top_k(kept_s, max_num)
+        prop_valid = top_s > NEG_INF / 2
+        proposals = cat_p[top_i] * prop_valid[:, None]
+
+        # aug_test_bboxes: bbox head per variant on the SAME merged
+        # proposals mapped into each variant frame; recovered decoded boxes
+        # and scores are averaged before one NMS (merge_aug_bboxes)
+        pano_cfg = tcfg.get("panoptic", {})
+        reg_w = tuple(pano_cfg.get("bbox_reg_weights", (10.0, 10.0, 5.0, 5.0)))
+        boxes_sum = None
+        probs_sum = None
+        for v in range(v_count):
+            meta = aug_metas[v]
+            flip = bool(meta.get("flip", False))
+            ratio = float(meta.get("scale_ratio", 1.0))
+            hv, wv = meta.get("img_shape", (h, w))
+            props_v = self._map_boxes_into(proposals, flip, ratio, (h, w))
+            roi_feats = self._roi_feats(feats[v], props_v, 7, valid=prop_valid)
+            cls_score, bbox_pred = self.bbox_head_m(roi_feats)
+            boxes_v = delta2bbox_upsnet(props_v, bbox_pred, reg_w, (hv, wv))
+            boxes_v = self._map_boxes_back(boxes_v, flip, ratio, (h, w))
+            probs_v = jax.nn.softmax(cls_score, axis=-1)
+            boxes_sum = boxes_v if boxes_sum is None else boxes_sum + boxes_v
+            probs_sum = probs_v if probs_sum is None else probs_sum + probs_v
+        boxes_mean = boxes_sum / v_count
+        probs_mean = probs_sum / v_count
+
+        det_boxes, det_probs, det_cls, det_valid = panoptic_dets_from_decoded(
+            boxes_mean,
+            probs_mean,
+            prop_valid,
+            score_thresh=pano_cfg.get("score_thresh", 0.6),
+            nms_thresh=pano_cfg.get("nms_thresh", 0.5),
+            top_n=pano_cfg.get("max_det", 100),
+        )
+        det_labels = jnp.maximum(det_cls - 1, 0)
+
+        # tracking runs in the canonical frame on variant-0 features
+        det_roi_feats = self._roi_feats(feats[0], det_boxes, 7, valid=det_valid)
+        if self.track_head_m is not None:
+            match_logits = self.track_head_m(
+                det_roi_feats, track_state.feats, track_state.valid
+            )
+            match_logprob = jax.nn.log_softmax(match_logits, axis=-1)
+            label_delta = (
+                track_state.labels[None, :] == det_labels[:, None]
+            ).astype(jnp.float32)
+            ious = bbox_overlaps(det_boxes, track_state.bboxes)
+            ious = ious * track_state.valid[None, :]
+            comp = compute_comp_scores(
+                match_logprob, det_probs[:, None], ious, label_delta,
+                self.match_coeff,
+            )
+            comp = jnp.where(
+                jnp.concatenate(
+                    [jnp.ones((1,), bool), track_state.valid]
+                )[None, :],
+                comp,
+                -jnp.inf,
+            )
+            det_obj_ids, new_state = track_assign(
+                comp, det_boxes, det_labels, det_roi_feats, det_valid,
+                track_state,
+            )
+        else:
+            det_obj_ids = jnp.where(
+                det_valid, jnp.cumsum(det_valid.astype(jnp.int32)) - 1, -1
+            )
+            new_state = track_state
+
+        # merge_aug_masks: per-variant 28×28 mask probs, unflipped in ROI
+        # space, averaged; fusion consumes logit(mean prob)
+        mask_prob_sum = None
+        for v in range(v_count):
+            meta = aug_metas[v]
+            flip = bool(meta.get("flip", False))
+            ratio = float(meta.get("scale_ratio", 1.0))
+            boxes_v = self._map_boxes_into(det_boxes, flip, ratio, (h, w))
+            mask_feats = self._roi_feats(feats[v], boxes_v, 14, valid=det_valid)
+            mask_score = self.mask_head_m(mask_feats)
+            mask_score = jnp.take_along_axis(
+                mask_score, det_cls[:, None, None, None], axis=-1
+            )[..., 0]
+            prob = jax.nn.sigmoid(mask_score)
+            if flip:
+                prob = prob[:, :, ::-1]
+            mask_prob_sum = prob if mask_prob_sum is None \
+                else mask_prob_sum + prob
+        mean_prob = jnp.clip(mask_prob_sum / v_count, 1e-6, 1.0 - 1e-6)
+        mask_logits = jnp.log(mean_prob) - jnp.log1p(-mean_prob)
+
+        fusion = mask_removal_and_fuse(
+            det_boxes,
+            det_probs,
+            det_cls,
+            det_valid,
+            det_obj_ids,
+            mask_logits,
+            fcn_output[0],
+            num_stuff=self.panoptic_m.num_stuff_classes,
+        )
+
+        panoptic = fusion.panoptic
+        sseg = fusion.sseg
+        if img_shape_withoutpad is not None:
+            ph, pw = img_shape_withoutpad
+            panoptic = panoptic[:ph, :pw]
+            sseg = sseg[:ph, :pw]
+
+        outputs = {
+            "fcn_outputs": sseg,
+            "panoptic_outputs": panoptic,
+            "panoptic_cls_inds": fusion.keep_cls,
+            "panoptic_cls_prob": fusion.keep_probs,
+            "panoptic_det_obj_ids": fusion.keep_obj_ids,
+            "panoptic_valid": fusion.keep_valid,
+            "num_keep": fusion.num_keep,
+            "det_bboxes": det_boxes,
+            "det_labels": det_labels,
+            "det_probs": det_probs,
+            "det_valid": det_valid,
+        }
+        return outputs, new_state
+
+    @staticmethod
+    def _map_boxes_back(boxes, flip: bool, ratio: float, canvas_hw):
+        """bbox_mapping_back (core/bbox/transforms.py): variant frame →
+        canonical frame (unflip on the padded canvas width, then ÷ratio)."""
+        from vps_tpu.ops.box import bbox_flip
+
+        if flip:
+            boxes = bbox_flip(boxes, canvas_hw)
+        if ratio != 1.0:
+            boxes = boxes / ratio
+        return boxes
+
+    @staticmethod
+    def _map_boxes_into(boxes, flip: bool, ratio: float, canvas_hw):
+        """bbox_mapping: canonical frame → variant frame."""
+        from vps_tpu.ops.box import bbox_flip
+
+        if ratio != 1.0:
+            boxes = boxes * ratio
+        if flip:
+            boxes = bbox_flip(boxes, canvas_hw)
+        return boxes
 
 
 def predict_video(

@@ -86,8 +86,28 @@ def panoptic_dets(
     Returns (det_boxes (top_n, 4), det_probs (top_n,), cls_idx (top_n,)
     1-based, valid (top_n,)).
     """
-    n, num_classes = cls_prob.shape
     boxes_all = delta2bbox_upsnet(rois, bbox_pred, reg_weights, img_shape)
+    return panoptic_dets_from_decoded(
+        boxes_all, cls_prob, roi_valid,
+        score_thresh=score_thresh, nms_thresh=nms_thresh, top_n=top_n,
+        pre_nms=pre_nms,
+    )
+
+
+def panoptic_dets_from_decoded(
+    boxes_all,
+    cls_prob,
+    roi_valid,
+    score_thresh: float = 0.6,
+    nms_thresh: float = 0.5,
+    top_n: int = 100,
+    pre_nms: int = 256,
+):
+    """Post-decode stage of MaskROI: takes per-class decoded boxes
+    (N, C, 4) + class probs (N, C) directly — the aug-test path feeds
+    variant-averaged boxes/probs here (test_mixins.py:102-110
+    merge_aug_bboxes → NMS)."""
+    n, num_classes = cls_prob.shape
     boxes_fg = boxes_all[:, 1:, :].reshape(-1, 4)  # (N·(C-1), 4)
     probs_fg = cls_prob[:, 1:].reshape(-1)
     cls_fg = jnp.tile(jnp.arange(1, num_classes), (n,))
@@ -218,6 +238,13 @@ def mask_removal_and_fuse(
     n = det_boxes.shape[0]
     hh, ww = fcn_output.shape[0], fcn_output.shape[1]
     num_things = fcn_output.shape[-1] - num_stuff
+    # per-class occupancy is packed into int32 bits; >31 thing classes
+    # would overflow the shift silently (fine for Cityscapes' 8)
+    if num_things > 31:
+        raise ValueError(
+            f"mask_removal_and_fuse packs per-class coverage into int32 "
+            f"bits; num_things={num_things} > 31 unsupported"
+        )
 
     order = jnp.argsort(-jnp.where(det_valid, det_probs, -jnp.inf), stable=True)
 
@@ -425,10 +452,19 @@ def track_assign(
 
     c = jax.lax.fori_loop(0, n, body2, c)
 
-    # batched memory payload writes: each slot is won by at most one det
-    # (competition is resolved above), so one scatter per array suffices;
-    # out-of-range rows (unassigned dets) drop.
+    # batched memory payload writes: competition above leaves at most one
+    # det per slot EXCEPT at capacity saturation, where insert_new clamps
+    # overflow dets onto slot cap-1. Resolve duplicates deterministically
+    # (last det wins, matching the sequential writes this scatter replaced)
+    # via a scatter-max of det indices; out-of-range rows drop.
     write = det_valid & (c.obj_ids >= 0)
+    slots = jnp.where(write, c.obj_ids, cap)
+    winner = (
+        jnp.full((cap + 1,), -1, jnp.int32)
+        .at[slots]
+        .max(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    )
+    write = write & (winner[jnp.clip(slots, 0, cap)] == jnp.arange(n))
     slots = jnp.where(write, c.obj_ids, cap)
     feats = state.feats.at[slots].set(det_feats, mode="drop")
     bboxes = state.bboxes.at[slots].set(det_boxes, mode="drop")
