@@ -56,6 +56,12 @@ class CityscapesVPSDataset:
         for info in self.img_infos:
             info["filename"] = info["file_name"]
         self.cat2label = {c: i + 1 for i, c in enumerate(self.coco.cat_ids)}
+        if type(self).CLASSES is None:
+            # Viper/Coco subclasses: class names come from the json's own
+            # categories (viper.py:100-102), in cat_id order = label order
+            self.CLASSES = tuple(
+                self.coco.cats[c]["name"] for c in self.coco.cat_ids
+            )
         if ref_ann_file is not None and ref_ann_file != ann_file:
             self.ref_coco = CocoIndex(ref_ann_file)
         else:
@@ -91,7 +97,23 @@ class CityscapesVPSDataset:
                 continue
             bboxes.append([x1, y1, x1 + bw - 1, y1 + bh - 1])
             labels.append(self.cat2label[ann["category_id"]])
-            obj_ids.append(ann.get("inst_id", len(obj_ids)))
+            if "inst_id" in ann:
+                obj_ids.append(ann["inst_id"])
+            else:
+                # positional fallback carries NO cross-frame identity — the
+                # track head would train on garbage correspondences. Warn
+                # loudly once so a malformed VPS json can't pass silently.
+                if not getattr(self, "_warned_no_inst_id", False):
+                    import logging
+
+                    logging.getLogger("vps_tpu").warning(
+                        "%s: annotation for image %s has no 'inst_id'; "
+                        "falling back to per-frame positional ids (NOT valid "
+                        "cross-frame track identities)",
+                        type(self).__name__, img_info["id"],
+                    )
+                    self._warned_no_inst_id = True
+                obj_ids.append(len(obj_ids))
             masks.append(ann_to_mask(ann["segmentation"], h, w))
         if bboxes:
             return dict(

@@ -41,9 +41,15 @@ def vpq_compute_video(
     frames: Sequence[Tuple[dict, dict, np.ndarray, np.ndarray]],
     categories: Dict[int, dict],
     nframes: int,
+    size_thr: int = 0,
 ) -> PQStat:
     """frames: per annotated frame (gt_json, pred_json, gt_pan_rgb,
-    pred_pan_rgb). Slides a window of `nframes` over the video."""
+    pred_pan_rgb). Slides a window of `nframes` over the video.
+
+    ``size_thr``: VIPER's SIZE_THR=32² small-GT skip
+    (/root/reference/tools/dataset/viper.py:363-377 — GT tubes smaller than
+    the threshold neither match nor count as FN); 0 = the Cityscapes-VPS
+    protocol (eval_vpq.py), which has no size filter."""
     stat = PQStat()
     for start in range(0, len(frames) - nframes + 1):
         window = frames[start : start + nframes]
@@ -93,9 +99,19 @@ def vpq_compute_video(
             for p, c in zip(pairs.tolist(), inters.tolist())
         }
 
+        gt_small = set()
+        if size_thr > 0:
+            labels, cnts = np.unique(gt_tube, return_counts=True)
+            gt_small = {
+                int(l) for l, c in zip(labels.tolist(), cnts.tolist())
+                if c < size_thr
+            }
+
         gt_matched = set()
         pred_matched = set()
         for (gt_label, pred_label), intersection in gt_pred_map.items():
+            if gt_label in gt_small:
+                continue
             if gt_label not in vid_gt_segms or pred_label not in vid_pred_segms:
                 continue
             g = vid_gt_segms[gt_label]
@@ -121,6 +137,8 @@ def vpq_compute_video(
                 continue
             if g.get("iscrowd", 0) == 1:
                 crowd_by_cat[g["category_id"]] = gt_label
+                continue
+            if gt_label in gt_small:
                 continue
             stat[g["category_id"]].fn += 1
 
