@@ -1,0 +1,58 @@
+"""deform_conv2d_multilevel (one concatenated gather stream over all FPN
+levels, the UPSNet semantic head's shared tower upsnetFPN.py:24-36) must
+reproduce per-level deform_conv2d calls exactly — same corner order, same
+f32 accumulation — for both bilinear and nearest sampling."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vps_tpu.ops.deform_conv import deform_conv2d, deform_conv2d_multilevel
+
+
+def _levels(rng, b=2, cin=8, cout=16, k=3):
+    shapes = [(16, 32), (8, 16), (4, 8), (2, 4)]
+    xs = [jnp.asarray(rng.randn(b, h, w, cin), jnp.float32) for h, w in shapes]
+    offs = [
+        jnp.asarray(rng.randn(b, h, w, 2 * k * k) * 2.0, jnp.float32)
+        for h, w in shapes
+    ]
+    weight = jnp.asarray(rng.randn(k, k, cin, cout) * 0.1, jnp.float32)
+    return xs, offs, weight
+
+
+def test_multilevel_matches_per_level_bilinear():
+    rng = np.random.RandomState(0)
+    xs, offs, weight = _levels(rng)
+    outs_ml = deform_conv2d_multilevel(xs, offs, weight, padding=1)
+    for x, off, out_ml in zip(xs, offs, outs_ml):
+        out_sl = deform_conv2d(x, off, weight, padding=1)
+        np.testing.assert_allclose(
+            np.asarray(out_ml), np.asarray(out_sl), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_multilevel_matches_per_level_nearest():
+    rng = np.random.RandomState(1)
+    xs, offs, weight = _levels(rng)
+    outs_ml = deform_conv2d_multilevel(
+        xs, offs, weight, padding=1, sampling="nearest"
+    )
+    for x, off, out_ml in zip(xs, offs, outs_ml):
+        out_sl = deform_conv2d(x, off, weight, padding=1, sampling="nearest")
+        np.testing.assert_allclose(
+            np.asarray(out_ml), np.asarray(out_sl), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_multilevel_bf16_path():
+    rng = np.random.RandomState(2)
+    xs, offs, weight = _levels(rng)
+    xs16 = [x.astype(jnp.bfloat16) for x in xs]
+    outs = deform_conv2d_multilevel(xs16, offs, weight.astype(jnp.bfloat16),
+                                    padding=1)
+    ref = deform_conv2d_multilevel(xs, offs, weight, padding=1)
+    for o, r in zip(outs, ref):
+        assert o.dtype == jnp.float32  # f32 accumulation
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(r), rtol=0.05, atol=0.05
+        )

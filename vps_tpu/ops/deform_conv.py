@@ -63,8 +63,10 @@ def deform_conv2d(
     # the 9 materialized tap maps blow the working set. Gathers here are
     # index-bound on v5e (~0.6 ms / 131k indices), not byte-bound.)
     flat = x.reshape(b, h * w, cin)
-    ys_grid = jnp.arange(ho, dtype=x.dtype)[None, :, None] * stride - padding
-    xs_grid = jnp.arange(wo, dtype=x.dtype)[None, None, :] * stride - padding
+    # grids in f32 ALWAYS: a bf16 grid quantizes integer positions > 256
+    # (8 mantissa bits), shifting sample points by up to 2 px on wide maps
+    ys_grid = jnp.arange(ho, dtype=jnp.float32)[None, :, None] * stride - padding
+    xs_grid = jnp.arange(wo, dtype=jnp.float32)[None, None, :] * stride - padding
     out = jnp.zeros((b, ho, wo, cout), jnp.float32)
     for ki in range(k):
         dy = (ki // kw) * dilation
@@ -108,6 +110,102 @@ def deform_conv2d(
     if bias is not None:
         out = out + bias
     return out
+
+
+def deform_conv2d_multilevel(
+    xs,
+    offsets,
+    weight,
+    padding: int = 1,
+    sampling: str = "bilinear",
+):
+    """Shared-weight deformable conv over MULTIPLE feature levels with ONE
+    gather stream (the UPSNet semantic head's shared tower, upsnetFPN.py:24-36
+    applied per FPN level).
+
+    TPU gathers are INDEX-bound (~4.6 ns/index regardless of slice width,
+    PERF.md): running the tower per level issues K·4 gathers *per level*
+    (144/stage at 4 levels), each paying fixed dispatch + ramp cost — the
+    small levels (2-32k indices) are overhead-dominated. Flattening the 4
+    levels into one concatenated (Σ H_l·W_l, Cin) table turns that into K·4
+    total gathers on one long index stream and K (instead of 4K) MXU
+    matmuls, with bitwise-identical per-element math (same corner order,
+    same f32 accumulation).
+
+    xs: list of (B, H_l, W_l, Cin); offsets: list of (B, H_l, W_l, 2K);
+    weight: (kh, kw, Cin, Cout) SHARED across levels. Returns a list of
+    (B, H_l, W_l, Cout)."""
+    b, _, _, cin = xs[0].shape
+    kh, kw, _, cout = weight.shape
+    k = kh * kw
+    shapes = [x.shape[1:3] for x in xs]
+    sizes = [h * w for h, w in shapes]
+    bases = []
+    base = 0
+    for s in sizes:
+        bases.append(base)
+        base += s
+    flat = jnp.concatenate([x.reshape(b, s, cin) for x, s in zip(xs, sizes)],
+                           axis=1)
+    offs = [o.reshape(b, *hw, k, 2) for o, hw in zip(offsets, shapes)]
+
+    grids = []
+    for (h, w) in shapes:
+        ys_g = jnp.arange(h, dtype=jnp.float32)[None, :, None] - padding
+        xs_g = jnp.arange(w, dtype=jnp.float32)[None, None, :] - padding
+        grids.append((ys_g, xs_g))
+
+    out = jnp.zeros((b, base, cout), jnp.float32)
+    for ki in range(k):
+        dy = ki // kw
+        dx = ki % kw
+        idx_parts, wgt_parts = [], []
+        n_corners = 1 if sampling == "nearest" else 4
+        per_corner_idx = [[] for _ in range(n_corners)]
+        per_corner_wgt = [[] for _ in range(n_corners)]
+        for lvl, ((h, w), (ys_g, xs_g), off_l, base_l) in enumerate(
+            zip(shapes, grids, offs, bases)
+        ):
+            ys = ys_g + dy + off_l[..., ki, 0]
+            xq = xs_g + dx + off_l[..., ki, 1]
+            y0 = jnp.floor(ys)
+            x0 = jnp.floor(xq)
+            wy = ys - y0
+            wx = xq - x0
+            if sampling == "nearest":
+                corners = ((jnp.round(ys), jnp.round(xq), jnp.ones_like(wy)),)
+            else:
+                corners = (
+                    (y0, x0, (1 - wy) * (1 - wx)),
+                    (y0, x0 + 1, (1 - wy) * wx),
+                    (y0 + 1, x0, wy * (1 - wx)),
+                    (y0 + 1, x0 + 1, wy * wx),
+                )
+            for ci, (yy, xx, wgt) in enumerate(corners):
+                inb = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
+                idx = (
+                    jnp.clip(yy, 0, h - 1).astype(jnp.int32) * w
+                    + jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+                    + base_l
+                ).reshape(b, -1)
+                per_corner_idx[ci].append(idx)
+                per_corner_wgt[ci].append((wgt * inb).reshape(b, -1))
+        acc = 0.0
+        for ci in range(n_corners):
+            idx = jnp.concatenate(per_corner_idx[ci], axis=1)
+            wgt = jnp.concatenate(per_corner_wgt[ci], axis=1)
+            vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+            acc = acc + vals * wgt[..., None]
+        out = out + jnp.einsum(
+            "bni,io->bno",
+            acc.astype(xs[0].dtype),
+            weight[dy, dx],
+            preferred_element_type=jnp.float32,
+        )
+    return [
+        out[:, base_l:base_l + s].reshape(b, h, w, cout)
+        for base_l, s, (h, w) in zip(bases, sizes, shapes)
+    ]
 
 
 # ---------------------------------------------------------------------------
