@@ -85,10 +85,45 @@ def load_checkpoint(path: str, target=None):
         return ckptr.restore(path)
     try:
         return ckptr.restore(path, target)
-    except ValueError:
+    except ValueError as first_err:
         raw = ckptr.restore(path)
         out = dict(target)
+        fallback_keys = []
         for k in target:
             if k in raw and raw[k] is not None:
+                _check_tree_compat(k, raw[k], target[k], first_err)
                 out[k] = raw[k]
+            else:
+                fallback_keys.append(k)
+        if fallback_keys:
+            import logging
+
+            logging.getLogger("vps_tpu").warning(
+                "load_checkpoint(%s): keys %s absent from checkpoint; "
+                "keeping template values", path, fallback_keys
+            )
         return out
+
+
+def _check_tree_compat(key: str, restored, template, first_err):
+    """A checkpoint from a different model must not load silently: validate
+    the restored subtree's structure and leaf shapes against the template
+    (empty-dict templates accept anything — the 'model without batch_stats'
+    lenient case)."""
+    t_leaves, t_def = jax.tree.flatten(template)
+    if not t_leaves:
+        return
+    r_leaves, r_def = jax.tree.flatten(restored)
+    if r_def != t_def:
+        raise ValueError(
+            f"load_checkpoint: restored '{key}' tree structure does not "
+            f"match the target model: {r_def} vs {t_def}"
+        ) from first_err
+    for rl, tl in zip(r_leaves, t_leaves):
+        rs = tuple(np.shape(rl))
+        ts = tuple(np.shape(tl))
+        if rs != ts:
+            raise ValueError(
+                f"load_checkpoint: shape mismatch in '{key}': "
+                f"restored {rs} vs target {ts}"
+            ) from first_err
