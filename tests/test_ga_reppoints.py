@@ -1,0 +1,308 @@
+"""GuidedAnchor + RepPoints head tests (VERDICT round-1 item 9).
+
+Covers: forward shapes for all three GA heads + RepPoints, loss finiteness
+and positive-sensitivity, masked-conv gating behavior, guided-anchor decode,
+points2bbox torch-convention checks (moment std uses the n-1 divisor), and
+registry/config buildability.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vps_tpu.models.ga_heads import (
+    GARPNHead,
+    GARetinaHead,
+    GuidedAnchorHead,
+    ga_bboxes,
+    ga_generators,
+    ga_loc_targets,
+    ga_loss,
+    ga_rpn_loss,
+    ga_rpn_proposals,
+    ga_shape_targets,
+    guided_anchors_single,
+)
+from vps_tpu.models.reppoints import (
+    RepPointsHead,
+    points2bbox,
+    reppoints_bboxes,
+    reppoints_centers,
+    reppoints_loss,
+)
+
+
+def _feats(c=32, levels=3):
+    return [jnp.asarray(np.random.RandomState(i).randn(1, 16 >> i, 32 >> i, c),
+                        jnp.float32) for i in range(levels)]
+
+
+def _gt():
+    gt = jnp.array([[8.0, 8.0, 120.0, 100.0], [0.0, 0.0, 0.0, 0.0]])
+    return gt, jnp.array([2, 0]), jnp.array([True, False])
+
+
+GA_KW = dict(in_channels=32, feat_channels=32, anchor_strides=(8, 16, 32),
+             deformable_groups=2)
+CFG = dict(
+    ga_assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.3),
+    assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.4),
+    center_ratio=0.2,
+    ignore_ratio=0.5,
+)
+
+
+class TestGuidedAnchorHeads:
+    def test_base_head_shapes(self):
+        head = GuidedAnchorHead(num_classes=5, **GA_KW)
+        feats = _feats()
+        v = head.init(jax.random.PRNGKey(0), feats)
+        cls, reg, shp, loc = head.apply(v, feats)
+        assert len(cls) == 3
+        assert cls[0].shape == (1, 16, 32, 4)
+        assert reg[0].shape == (1, 16, 32, 4)
+        assert shp[0].shape == (1, 16, 32, 2)
+        assert loc[0].shape == (1, 16, 32, 1)
+
+    def test_garpn_shapes_and_loss(self):
+        head = GARPNHead(**GA_KW)
+        feats = _feats()
+        v = head.init(jax.random.PRNGKey(0), feats)
+        cls, reg, shp, loc = head.apply(v, feats)
+        assert cls[0].shape == (1, 16, 32, 1)
+        gt, _, gtv = _gt()
+        cfg = dict(
+            CFG,
+            assigner=dict(pos_iou_thr=0.7, neg_iou_thr=0.3, min_pos_iou=0.3),
+            sampler=dict(num=64, pos_fraction=0.5),
+            allowed_border=0,
+        )
+        losses = ga_rpn_loss(
+            jax.random.PRNGKey(1), head, cls, reg, shp, loc, gt, gtv,
+            (128, 256), cfg,
+        )
+        assert set(losses) == {
+            "loss_rpn_cls", "loss_rpn_bbox", "loss_anchor_shape",
+            "loss_anchor_loc",
+        }
+        for k, x in losses.items():
+            assert np.isfinite(float(x)), (k, x)
+        props, scores, valid = ga_rpn_proposals(
+            head, cls, reg, shp, loc, (128, 256), nms_pre=100, max_num=50,
+            use_loc_filter=False,
+        )
+        assert props.shape == (50, 4) and int(valid.sum()) > 0
+
+    def test_garetina_loss_and_decode(self):
+        head = GARetinaHead(num_classes=5, stacked_convs=1, **GA_KW)
+        feats = _feats()
+        v = head.init(jax.random.PRNGKey(0), feats)
+        cls, reg, shp, loc = head.apply(v, feats)
+        gt, gtl, gtv = _gt()
+        losses = ga_loss(
+            jax.random.PRNGKey(1), head, cls, reg, shp, loc, gt, gtl, gtv,
+            (128, 256), CFG,
+        )
+        for k, x in losses.items():
+            assert np.isfinite(float(x)), (k, x)
+        # a gt that matches anchors must produce nonzero cls+loc loss
+        assert float(losses["loss_cls"]) > 0
+        assert float(losses["loss_loc"]) > 0
+        dets, labels, valid = ga_bboxes(
+            head, cls, reg, shp, loc, (128, 256), nms_pre=100,
+            max_per_img=10, use_loc_filter=False,
+        )
+        assert dets.shape == (10, 5) and labels.shape == (10,)
+
+    def test_masked_conv_gates_outputs(self):
+        """At inference the loc filter zeroes cls/reg outputs where
+        sigmoid(loc) < thr (guided_anchor_head.py:197-207 MaskedConv2d)."""
+        head = GuidedAnchorHead(num_classes=5, loc_filter_thr=2.0, **GA_KW)
+        feats = _feats()
+        v = head.init(jax.random.PRNGKey(0), feats)
+        cls_m, reg_m, _, loc = head.apply(v, feats, masked=True)
+        # thr=2.0 > any sigmoid → everything masked out
+        assert float(jnp.abs(cls_m[0]).max()) == 0.0
+        assert float(jnp.abs(reg_m[0]).max()) == 0.0
+        cls_u, _, _, _ = head.apply(v, feats, masked=False)
+        assert float(jnp.abs(cls_u[0]).max()) > 0.0
+
+    def test_guided_anchors_decode_shape_deltas(self):
+        """Guided anchors apply the shape prediction as (dw, dh) on square
+        anchors with fixed centers (guided_anchor_head.py:342-354)."""
+        head = GuidedAnchorHead(num_classes=5, **GA_KW)
+        _, square_gen = ga_generators(head)
+        squares = square_gen[0].grid_anchors((4, 4), 8)
+        sp = jnp.zeros((4, 4, 2))
+        lp = jnp.zeros((4, 4, 1))
+        ga, mask = guided_anchors_single(squares, sp, lp)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(squares),
+                                   atol=1e-4)
+        # dw = log 2 → width doubles, center unchanged
+        sp2 = jnp.concatenate(
+            [jnp.full((4, 4, 1), float(np.log(2.0))), jnp.zeros((4, 4, 1))],
+            axis=-1,
+        )
+        ga2, _ = guided_anchors_single(squares, sp2, lp)
+        w1 = ga[:, 2] - ga[:, 0] + 1
+        w2 = ga2[:, 2] - ga2[:, 0] + 1
+        np.testing.assert_allclose(np.asarray(w2 / w1), 2.0, rtol=1e-4)
+        c1 = (ga[:, 0] + ga[:, 2]) / 2
+        c2 = (ga2[:, 0] + ga2[:, 2]) / 2
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-3)
+
+    def test_ga_loc_targets_regions(self):
+        """Center cells positive w/ weight 1; ignore ring weight 0; far
+        cells weight 0.1 (guided_anchor_target.py:32-131)."""
+        gt = jnp.array([[16.0, 16.0, 47.0, 47.0]])  # 32x32 at stride-8 lvl 0
+        gtv = jnp.array([True])
+        out, avg = ga_loc_targets(
+            gt, gtv, [(8, 8), (4, 4)], anchor_scale=4, anchor_strides=[8, 16]
+        )
+        (t0, w0), (t1, w1) = out
+        t0, w0 = np.asarray(t0), np.asarray(w0)
+        # gt center region on level 0: gl = [2, 2, 5.875, 5.875], r1 = 0.4
+        # → round(3.55)..round(4.325) = cell (4, 4); positive, weight 1
+        assert t0[4, 4] == 1.0 and w0[4, 4] == 1.0
+        # far corner is background with weight 0.1
+        assert t0[7, 7] == 0.0 and w0[7, 7] == pytest.approx(0.1)
+        # level 1 gets the adjacent-level ignore region around the gt
+        w1 = np.asarray(w1)
+        assert w1[1, 1] == 0.0
+        assert avg == pytest.approx((64 + 16) / 200)
+
+    def test_ga_shape_targets_matches_gt(self):
+        head = GuidedAnchorHead(num_classes=5, **GA_KW)
+        approx_gen, square_gen = ga_generators(head)
+        sizes = [(8, 8), (4, 4), (2, 2)]
+        approxs = jnp.concatenate(
+            [g.grid_anchors(s, st) for g, s, st in
+             zip(approx_gen, sizes, head.anchor_strides)], axis=0,
+        )
+        squares = jnp.concatenate(
+            [g.grid_anchors(s, st) for g, s, st in
+             zip(square_gen, sizes, head.anchor_strides)], axis=0,
+        )
+        gt, _, gtv = _gt()
+        bbox_gts, w, npos = ga_shape_targets(
+            jax.random.PRNGKey(0), approxs, squares, gt, gtv,
+            dict(pos_iou_thr=0.5, neg_iou_thr=0.3),
+            head.scales_per_octave * len(head.octave_ratios),
+        )
+        w = np.asarray(w)
+        assert float(npos) >= 1 and w.sum() > 0
+        # every positive square's target is the (only) valid gt box
+        pos = w > 0
+        np.testing.assert_allclose(
+            np.asarray(bbox_gts)[pos],
+            np.broadcast_to(np.asarray(gt[0]), (pos.sum(), 4)),
+        )
+
+
+class TestRepPoints:
+    def _head(self, **kw):
+        kw.setdefault("num_classes", 5)
+        kw.setdefault("in_channels", 32)
+        kw.setdefault("feat_channels", 32)
+        kw.setdefault("point_feat_channels", 32)
+        kw.setdefault("stacked_convs", 1)
+        kw.setdefault("point_strides", (8, 16, 32))
+        return RepPointsHead(**kw)
+
+    def test_forward_shapes(self):
+        head = self._head()
+        feats = _feats()
+        v = head.init(jax.random.PRNGKey(0), feats)
+        cls, p_init, p_ref = head.apply(v, feats)
+        assert cls[0].shape == (1, 16, 32, 4)
+        assert p_init[0].shape == (1, 16, 32, 18)
+        assert p_ref[0].shape == (1, 16, 32, 18)
+        assert "moment_transfer" in v["params"]
+
+    def test_points2bbox_moment_matches_torch_std(self):
+        """moment transform uses Bessel-corrected std like torch.std
+        (reppoints_head.py:195-210)."""
+        head = self._head()
+        rng = np.random.RandomState(0)
+        pts = rng.randn(7, 18).astype(np.float32)
+        box = np.asarray(points2bbox(head, jnp.asarray(pts)))
+        p = pts.reshape(7, 9, 2)
+        py, px = p[..., 0], p[..., 1]
+        mx, my = px.mean(-1), py.mean(-1)
+        sx = px.std(-1, ddof=1)
+        sy = py.std(-1, ddof=1)
+        ref = np.stack([mx - sx, my - sy, mx + sx, my + sy], axis=-1)
+        np.testing.assert_allclose(box, ref, rtol=1e-5, atol=1e-5)
+
+    def test_points2bbox_minmax(self):
+        head = self._head(transform_method="minmax")
+        pts = jnp.asarray(np.random.RandomState(1).randn(5, 18), jnp.float32)
+        box = np.asarray(points2bbox(head, pts))
+        p = np.asarray(pts).reshape(5, 9, 2)
+        np.testing.assert_allclose(box[:, 0], p[..., 1].min(-1), rtol=1e-6)
+        np.testing.assert_allclose(box[:, 3], p[..., 0].max(-1), rtol=1e-6)
+
+    def test_loss_and_decode(self):
+        head = self._head()
+        feats = _feats()
+        v = head.init(jax.random.PRNGKey(0), feats)
+        cls, p_init, p_ref = head.apply(v, feats)
+        gt, gtl, gtv = _gt()
+        cfg = dict(
+            init=dict(scale=4, pos_num=1),
+            refine=dict(assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.4)),
+        )
+        losses = reppoints_loss(
+            head, v, cls, p_init, p_ref, gt, gtl, gtv, cfg
+        )
+        assert set(losses) == {"loss_cls", "loss_pts_init", "loss_pts_refine"}
+        for k, x in losses.items():
+            assert np.isfinite(float(x)), (k, x)
+        assert float(losses["loss_pts_init"]) > 0
+        dets, labels, valid = reppoints_bboxes(
+            head, v, cls, p_ref, (128, 256), nms_pre=100, max_per_img=10
+        )
+        assert dets.shape == (10, 5)
+
+    def test_loss_gradients_flow(self):
+        """gradient_mul blending must leave the init branch trainable from
+        both the init loss and (attenuated) the refine path."""
+        head = self._head()
+        feats = _feats()
+        v = head.init(jax.random.PRNGKey(0), feats)
+        gt, gtl, gtv = _gt()
+        cfg = dict(
+            init=dict(scale=4, pos_num=1),
+            refine=dict(assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.4)),
+        )
+
+        def total(params):
+            cls, pi, pr = head.apply({"params": params}, feats)
+            ls = reppoints_loss(
+                head, {"params": params}, cls, pi, pr, gt, gtl, gtv, cfg
+            )
+            return sum(ls.values())
+
+        g = jax.grad(total)(v["params"])
+        gnorm = float(
+            sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g))
+        )
+        assert np.isfinite(gnorm) and gnorm > 0
+        init_g = float(
+            jnp.sum(jnp.abs(g["pts_init_out"]["Conv_0"]["kernel"]))
+            if "Conv_0" in g.get("pts_init_out", {})
+            else sum(
+                jnp.sum(jnp.abs(x))
+                for x in jax.tree.leaves(g["pts_init_out"])
+            )
+        )
+        assert init_g > 0
+
+
+def test_heads_buildable_from_registry():
+    from vps_tpu.registry import HEADS
+
+    for name in ("GuidedAnchorHead", "GARPNHead", "GARetinaHead",
+                 "RepPointsHead"):
+        assert name in HEADS, name
