@@ -33,7 +33,7 @@ from vps_tpu.core.sampler import pseudo_sample, random_sample
 from vps_tpu.core.targets import anchor_target
 from vps_tpu.ops import bbox2delta, delta2bbox
 from vps_tpu.ops.anchors import AnchorGenerator
-from vps_tpu.ops.deform_conv import deform_conv2d
+from vps_tpu.ops.deform_conv import deform_conv2d_grouped
 from vps_tpu.ops.masked_conv import masked_conv2d
 from vps_tpu.ops.losses import (
     binary_cross_entropy_with_logits,
@@ -63,25 +63,14 @@ class FeatureAdaption(nn.Module):
             g * k * k * 2, 1, 1, 0, use_bias=False,
             kernel_init=nn.initializers.normal(0.1), name="conv_offset",
         )(jax.lax.stop_gradient(shape_pred))
-        cin = x.shape[-1]
-        assert cin % g == 0, (cin, g)
-        gc = cin // g
         weight = self.param(
             "weight",
             nn.initializers.normal(0.01),
-            (k, k, cin, self.features),
+            (k, k, x.shape[-1], self.features),
         )
-        # grouped DCN: channel group i samples with offset slice i; the
-        # shared output conv is the sum of per-group partial convs
-        out = None
-        for i in range(g):
-            o = deform_conv2d(
-                x[..., i * gc:(i + 1) * gc],
-                offs[..., i * 2 * k * k:(i + 1) * 2 * k * k],
-                weight[:, :, i * gc:(i + 1) * gc, :],
-                padding=(k - 1) // 2,
-            )
-            out = o if out is None else out + o
+        out = deform_conv2d_grouped(
+            x, offs, weight, g, padding=(k - 1) // 2
+        )
         return jax.nn.relu(out)
 
 

@@ -7,11 +7,16 @@ style='pytorch'`): 7×7/2 stem + 3×3/2 maxpool, Bottleneck stages
 [3, 4, 6, 3], pytorch-style stride (stride 2 on the 3×3 conv), BatchNorm in
 eval mode (FrozenBatchNorm), and ``frozen_stages`` implemented with
 ``stop_gradient`` (parameter-freezing semantics of requires_grad=False).
+
+Plugin hooks (resnet.py:148-206 + 243-250): per-stage DCN (v1/modulated)
+replacing conv2, GCNet ContextBlock after norm3, GeneralizedAttention after
+the conv2 stage — `dcn=`/`stage_with_dcn=`, `gcb=`/`stage_with_gcb=`,
+`gen_attention=`/`stage_with_gen_attention=` config surface.
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +24,8 @@ import flax.linen as nn
 
 from vps_tpu.registry import BACKBONES
 from vps_tpu.models.layers import Conv, FrozenBatchNorm, max_pool
+from vps_tpu.models.plugins import ContextBlock, GeneralizedAttention
+from vps_tpu.ops.deform_conv import deform_conv2d_grouped
 
 ARCH_SETTINGS = {
     18: ("basic", (2, 2, 2, 2)),
@@ -37,6 +44,9 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     groups: int = 1  # >1 + base_width → ResNeXt (backbones/resnext.py)
     base_width: int = 4
+    dcn: Optional[Dict[str, Any]] = None  # {modulated, deformable_groups, fallback_on_stride}
+    gcb: Optional[Dict[str, Any]] = None  # ContextBlock kwargs (ratio, ...)
+    gen_attention: Optional[Dict[str, Any]] = None  # GeneralizedAttention kwargs
     dtype: object = None  # compute dtype; params stay f32
 
     @nn.compact
@@ -52,15 +62,54 @@ class Bottleneck(nn.Module):
                    dtype=self.dtype)(x)
         out = FrozenBatchNorm(width, name="bn1")(out)
         out = jax.nn.relu(out)
-        out = Conv(
-            width, 3, conv2_stride, self.dilation, self.dilation,
-            use_bias=False, groups=self.groups, name="conv2", dtype=self.dtype,
-        )(out)
+        dcn = self.dcn
+        if dcn is not None and dcn.get("fallback_on_stride", False) \
+                and conv2_stride > 1:
+            dcn = None
+        if dcn is None:
+            out = Conv(
+                width, 3, conv2_stride, self.dilation, self.dilation,
+                use_bias=False, groups=self.groups, name="conv2",
+                dtype=self.dtype,
+            )(out)
+        else:
+            # DCN conv2 (resnet.py:148-186 + 229-239): a plain 3x3 conv
+            # (zero-init, like constant_init(conv2_offset, 0)) predicts
+            # per-group offsets (+ sigmoid masks when modulated)
+            dg = dcn.get("deformable_groups", 1)
+            modulated = dcn.get("modulated", False)
+            off_ch = dg * (27 if modulated else 18)
+            off = Conv(
+                off_ch, 3, conv2_stride, self.dilation, self.dilation,
+                kernel_init=nn.initializers.zeros, name="conv2_offset",
+            )(out)
+            w2 = self.param(
+                "conv2_weight", nn.initializers.he_normal(),
+                (3, 3, width, width),
+            )
+            if modulated:
+                offset = off[..., : dg * 18]
+                mask = jax.nn.sigmoid(off[..., dg * 18:])
+            else:
+                offset, mask = off, None
+            xc = out if self.dtype is None else out.astype(self.dtype)
+            wc = w2 if self.dtype is None else w2.astype(self.dtype)
+            out = deform_conv2d_grouped(
+                xc, offset, wc, dg, stride=conv2_stride,
+                padding=self.dilation, dilation=self.dilation, mask=mask,
+            ).astype(jnp.float32)
         out = FrozenBatchNorm(width, name="bn2")(out)
         out = jax.nn.relu(out)
+        if self.gen_attention is not None:
+            out = GeneralizedAttention(
+                in_dim=width, name="gen_attention_block",
+                **self.gen_attention,
+            )(out)
         out = Conv(self.planes * 4, 1, 1, 0, use_bias=False, name="conv3",
                    dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+        if self.gcb is not None:
+            out = ContextBlock(name="context_block", **self.gcb)(out)
         if self.downsample:
             identity = Conv(self.planes * 4, 1, self.stride, 0, use_bias=False,
                             name="downsample_conv", dtype=self.dtype)(x)
@@ -104,6 +153,13 @@ class ResNet(nn.Module):
     style: str = "pytorch"
     groups: int = 1
     base_width: int = 4
+    dcn: Optional[Dict[str, Any]] = None
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    gcb: Optional[Dict[str, Any]] = None
+    stage_with_gcb: Sequence[bool] = (False, False, False, False)
+    gen_attention: Optional[Dict[str, Any]] = None
+    # per-stage tuples of block indices that mount GeneralizedAttention
+    stage_with_gen_attention: Sequence[Sequence[int]] = ((), (), (), ())
     dtype: object = None  # compute dtype (e.g. bf16 inference); params f32
 
     @nn.compact
@@ -127,7 +183,17 @@ class ResNet(nn.Module):
             for j in range(nblocks):
                 kwargs = {"dtype": self.dtype}
                 if block_kind == "bottleneck":
-                    kwargs.update(groups=self.groups, base_width=self.base_width)
+                    kwargs.update(
+                        groups=self.groups,
+                        base_width=self.base_width,
+                        dcn=self.dcn if self.stage_with_dcn[i] else None,
+                        gcb=self.gcb if self.stage_with_gcb[i] else None,
+                        gen_attention=(
+                            self.gen_attention
+                            if j in self.stage_with_gen_attention[i]
+                            else None
+                        ),
+                    )
                 x = block_cls(
                     planes=planes,
                     stride=stride if j == 0 else 1,

@@ -112,6 +112,52 @@ def deform_conv2d(
     return out
 
 
+def deform_conv2d_grouped(
+    x,
+    offset,
+    weight,
+    groups: int,
+    bias=None,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    mask=None,
+    sampling: str = "bilinear",
+):
+    """Deformable-GROUP conv (reference DeformConv/ModulatedDeformConv with
+    deformable_groups=G, mmdet/ops/dcn/): input channels split into G
+    groups, group g sampling with offset slice g (and mask slice g for the
+    modulated variant); the conv weight stays full. Implemented as a sum of
+    per-group deform_conv2d partials — G is a small static constant.
+
+    offset: (B, Ho, Wo, G*2K); mask: (B, Ho, Wo, G*K) or None;
+    weight: (kh, kw, Cin, Cout)."""
+    if groups == 1:
+        return deform_conv2d(
+            x, offset, weight, bias=bias, stride=stride, padding=padding,
+            dilation=dilation, mask=mask, sampling=sampling,
+        )
+    cin = x.shape[-1]
+    kh, kw = weight.shape[:2]
+    k = kh * kw
+    assert cin % groups == 0, (cin, groups)
+    gc = cin // groups
+    out = None
+    for g in range(groups):
+        o = deform_conv2d(
+            x[..., g * gc:(g + 1) * gc],
+            offset[..., g * 2 * k:(g + 1) * 2 * k],
+            weight[:, :, g * gc:(g + 1) * gc, :],
+            stride=stride, padding=padding, dilation=dilation,
+            mask=None if mask is None else mask[..., g * k:(g + 1) * k],
+            sampling=sampling,
+        )
+        out = o if out is None else out + o
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def deform_conv2d_multilevel(
     xs,
     offsets,
