@@ -115,6 +115,7 @@ def panoptic_dets_from_decoded(
 
     # reduce to a fixed pre-NMS pool (reference NMSes all candidates; with
     # score_thresh 0.6 the pool is far below pre_nms in practice)
+    pre_nms = min(pre_nms, boxes_fg.shape[0])
     masked = jnp.where(cand_valid, probs_fg, NEG_INF)
     top_scores, top_idx = jax.lax.top_k(masked, pre_nms)
     top_boxes = boxes_fg[top_idx]
