@@ -1,0 +1,86 @@
+"""Fast-preset validation (round-1 VERDICT item 4): the `fast` preset
+(zoo.fast_overrides — nearest DCN sampling, 1-sample RoIAlign, quarter-res
+flow, nearest warps) must approximate the exact pipeline ON A TRAINED
+CHECKPOINT, not just run. Trains the CLI fixture once, runs tools/test_vpq.py
+with the exact and fast configs against the SAME checkpoint, and asserts
+output agreement; the measured numbers are written to
+<tmp>/fast_preset_report.json and recorded in PERF.md."""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from test_dataset_files import _write_fixture, H, W
+from test_cli_train_eval import CONFIG_TMPL
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+FAST_SUFFIX = """
+model = zoo.fast_overrides(model)
+"""
+
+
+@pytest.mark.cli
+def test_fast_preset_agrees_with_exact(tmp_path):
+    ann_file, img_dir, seg_dir = _write_fixture(str(tmp_path))
+    work = str(tmp_path / "work")
+    cfg_path = str(tmp_path / "cfg.py")
+    body = CONFIG_TMPL.format(W=W, H=H, ann=ann_file, img=img_dir,
+                              seg=seg_dir, work=work)
+    with open(cfg_path, "w") as f:
+        f.write(body)
+    fast_cfg_path = str(tmp_path / "cfg_fast.py")
+    with open(fast_cfg_path, "w") as f:
+        f.write(body + FAST_SUFFIX)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"), cfg_path],
+        env=env, capture_output=True, text=True, timeout=2700,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    with open(os.path.join(work, "latest.txt")) as f:
+        ckpt = os.path.join(work, f.read().strip())
+
+    results = {}
+    for tag, cpath in (("exact", cfg_path), ("fast", fast_cfg_path)):
+        out_pkl = str(tmp_path / f"out_{tag}.pkl")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "test_vpq.py"),
+             cpath, "--checkpoint", ckpt, "--out", out_pkl, "--chunk", "2"],
+            env=env, capture_output=True, text=True, timeout=2700,
+        )
+        assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+        with open(out_pkl.replace(".pkl", "_pano.pkl"), "rb") as f:
+            results[tag] = pickle.load(f)
+
+    ex, fa = results["exact"], results["fast"]
+    assert ex["all_names"] == fa["all_names"]
+    pano_agree, sseg_agree = [], []
+    for i in range(len(ex["all_names"])):
+        pano_agree.append(
+            float(np.mean(ex["all_panos"][i] == fa["all_panos"][i]))
+        )
+        sseg_agree.append(
+            float(np.mean(ex["all_ssegs"][i] == fa["all_ssegs"][i]))
+        )
+    report = dict(
+        pano_agreement=pano_agree,
+        sseg_agreement=sseg_agree,
+        pano_mean=float(np.mean(pano_agree)),
+        sseg_mean=float(np.mean(sseg_agree)),
+    )
+    with open(str(tmp_path / "fast_preset_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print("FAST_PRESET_REPORT", json.dumps(report))
+    # the fast approximations may move decision boundaries a little; large
+    # disagreement means the preset is broken, not merely approximate
+    assert report["sseg_mean"] > 0.90, report
+    assert report["pano_mean"] > 0.85, report
