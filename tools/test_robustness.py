@@ -1,11 +1,13 @@
 """Corruption-robustness benchmark (reference tools/test_robustness.py):
 run inference over the val set under image corruptions × severities and
-report per-corruption panoptic quality degradation.
+report per-corruption degradation.
 
 The reference evaluates COCO-style detection under the `imagecorruptions`
 package's 15 benchmark corruptions; here the corruptions are implemented
-natively (vps_tpu/data/corruptions.py) and the metric is image PQ from the
-ported evaluator, which is the quality measure of this framework's models.
+natively (vps_tpu/data/corruptions.py) and the per-run metric is bbox mAP
+(eval/mean_ap.py) against the dataset GT — the reference's own measure —
+plus mean detections/fps. Aggregate P/mPC/rPC with tools/robustness_eval.py
+(reference tools/robustness_eval.py:40-140).
 
 Usage: python tools/test_robustness.py CONFIG --checkpoint CKPT --out DIR
        [--corruptions gaussian_noise fog ...] [--severities 1 3 5]
@@ -110,10 +112,20 @@ def main():
     runs = [("clean", 0)] + [
         (c, s) for c in corruptions for s in args.severities
     ]
+    from vps_tpu.eval.mean_ap import eval_map
+
+    num_fg = cfg.model["bbox_head"]["num_classes"] - 1
+    gt_bboxes_all, gt_labels_all = [], []
+    for idx in range(n_frames):
+        ann = dataset.get_ann_info(idx)
+        gt_bboxes_all.append(np.asarray(ann["bboxes"], np.float32))
+        gt_labels_all.append(np.asarray(ann["labels"], np.int64))
+
     for cname, severity in runs:
         tstate = state0
         t0 = time.time()
         seg_counts = []
+        det_results = []
         for idx in range(n_frames):
             img, ref_img, meta = dataset.prepare_test(idx)
             if severity > 0:
@@ -135,11 +147,32 @@ def main():
                 tstate,
             )
             seg_counts.append(int(outputs["num_keep"]))
+            # per-class det lists in ORIGINAL image coords for eval_map
+            boxes = np.asarray(outputs["det_bboxes"], np.float32)
+            probs = np.asarray(outputs["det_probs"], np.float32)
+            labels = np.asarray(outputs["det_labels"], np.int64)
+            valid = np.asarray(outputs["det_valid"], bool)
+            sf = float(meta.get("scale_factor", 1.0))
+            per_cls = []
+            # outputs["det_labels"] is 0-based (det_cls - 1); eval_map's gt
+            # labels are 1-based, handled by its own c+1 indexing
+            for c in range(1, num_fg + 1):
+                sel = valid & (labels == c - 1)
+                per_cls.append(
+                    np.concatenate(
+                        [boxes[sel] / sf, probs[sel][:, None]], axis=-1
+                    )
+                )
+            det_results.append(per_cls)
         dt = time.time() - t0
+        mean_ap, _ = eval_map(
+            det_results, gt_bboxes_all, gt_labels_all, print_summary=False
+        )
         key = f"{cname}_s{severity}" if severity else "clean"
         report[key] = dict(
             frames=n_frames,
             mean_detections=float(np.mean(seg_counts)),
+            bbox_mAP=float(mean_ap),
             fps=n_frames / dt,
         )
         print(f"{key}: {report[key]}", file=sys.stderr)
