@@ -306,3 +306,35 @@ def test_heads_buildable_from_registry():
     for name in ("GuidedAnchorHead", "GARPNHead", "GARetinaHead",
                  "RepPointsHead"):
         assert name in HEADS, name
+
+
+def test_reppoints_detector_from_config():
+    """Full RepPointsDetector (detectors/reppoints_detector.py:8) builds
+    from a type= config and runs loss + predict."""
+    from vps_tpu.models import build_detector
+
+    det = build_detector(
+        dict(
+            type="RepPointsDetector",
+            backbone=dict(type="ResNet", depth=18, frozen_stages=-1),
+            neck=dict(type="FPN", in_channels=(64, 128, 256, 512),
+                      out_channels=32, num_outs=5),
+            bbox_head=dict(num_classes=5, in_channels=32, feat_channels=32,
+                           point_feat_channels=32, stacked_convs=1,
+                           point_strides=(8, 16, 32, 64, 128)),
+        ),
+        train_cfg=dict(
+            init=dict(scale=4, pos_num=1),
+            refine=dict(assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.4)),
+        ),
+        test_cfg=dict(max_per_img=10),
+    )
+    img = jnp.ones((1, 64, 128, 3))
+    v = det.init(jax.random.PRNGKey(0), img)
+    gt = jnp.array([[8.0, 8.0, 50.0, 50.0], [0.0, 0.0, 0.0, 0.0]])
+    losses = det.apply(v, img, gt, jnp.array([1, 0]),
+                       jnp.array([True, False]), method=det.loss)
+    for k, x in losses.items():
+        assert np.isfinite(float(x)), (k, x)
+    dets, labels, valid = det.apply(v, img, method=det.predict)
+    assert dets.shape == (10, 5)

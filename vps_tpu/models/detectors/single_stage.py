@@ -131,6 +131,54 @@ class RetinaNet(nn.Module):
 
 
 @DETECTORS.register
+class RepPointsDetector(nn.Module):
+    """ResNet-FPN + RepPointsHead (detectors/reppoints_detector.py:8):
+    single-stage point-set detector; loss/predict ride the pure reppoints
+    target/decode functions."""
+
+    backbone: Dict[str, Any]
+    neck: Dict[str, Any]
+    bbox_head: Dict[str, Any]
+    train_cfg: Optional[Dict[str, Any]] = None
+    test_cfg: Optional[Dict[str, Any]] = None
+
+    def setup(self):
+        from vps_tpu.models.reppoints import RepPointsHead
+
+        self.backbone_m = _build(self.backbone, BACKBONES)
+        self.neck_m = _build(self.neck, NECKS)
+        head = dict(self.bbox_head)
+        head.pop("type", None)
+        self.head_m = RepPointsHead(**head)
+
+    def __call__(self, img):
+        return self.head_m(self.neck_m(self.backbone_m(img)))
+
+    def loss(self, img, gt_bboxes, gt_labels, gt_valid):
+        from vps_tpu.models.reppoints import reppoints_loss
+
+        cls_scores, p_init, p_ref = self(img)
+        return reppoints_loss(
+            self.head_m, self.head_m.variables, cls_scores, p_init, p_ref,
+            gt_bboxes, gt_labels, gt_valid, self.train_cfg or {},
+        )
+
+    def predict(self, img):
+        from vps_tpu.models.reppoints import reppoints_bboxes
+
+        cls_scores, _, p_ref = self(img)
+        tcfg = self.test_cfg or {}
+        h, w = img.shape[1:3]
+        return reppoints_bboxes(
+            self.head_m, self.head_m.variables, cls_scores, p_ref, (h, w),
+            nms_pre=tcfg.get("nms_pre", 1000),
+            score_thr=tcfg.get("score_thr", 0.05),
+            nms_thr=tcfg.get("nms_thr", 0.5),
+            max_per_img=tcfg.get("max_per_img", 100),
+        )
+
+
+@DETECTORS.register
 class FCOS(nn.Module):
     """ResNet-FPN + FCOSHead (detectors/fcos.py)."""
 
