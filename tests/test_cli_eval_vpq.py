@@ -17,6 +17,7 @@ cv2 = pytest.importorskip("cv2")
 from PIL import Image
 
 from test_prepare_data import _write_raw, CAR
+from test_cli_train_eval import cpu_env
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -25,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_eval_vpq_cli_perfect_submission(tmp_path):
     root = str(tmp_path)
     _write_raw(root, nframes=4)  # >= the largest VPQ window (k=15 -> 4)
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = cpu_env()
     for script in ("create_panoptic_labels.py",
                    "create_panoptic_video_labels.py"):
         r = subprocess.run(

@@ -35,6 +35,11 @@ def parse_args():
     p.add_argument("--chunk", type=int, default=8,
                    help="frames per on-device lax.scan dispatch (1 = "
                         "per-frame host loop)")
+    p.add_argument("--aug", action="store_true",
+                   help="test-time augmentation: horizontal-flip variants "
+                        "merged with the reference aug-test semantics "
+                        "(test_mixins.py merge_aug_*); forces the per-frame "
+                        "host loop")
     p.add_argument("--streams", type=int, default=0,
                    help="parallel video streams round-robined over local "
                         "devices (0 = one per local device; videos are "
@@ -46,6 +51,9 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    from vps_tpu.utils.platform import apply_env_platforms
+    apply_env_platforms()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -119,7 +127,36 @@ def main():
             fps = done / (time.time() - t0)
             print(f"[{done}/{len(dataset)}] {fps:.2f} fps", file=sys.stderr)
 
-    if args.chunk > 1:
+    if args.aug:
+        # TTA path: flip variants merged on-device (detector.predict_aug —
+        # the reference's aug-test merge, test_mixins.py:43-110). Canonical
+        # variant 0 = the plain test-pipeline output; variant 1 = its
+        # horizontal flip of the padded canvas.
+        aug_metas = (
+            dict(flip=False, scale_ratio=1.0, img_shape=shape_nopad),
+            dict(flip=True, scale_ratio=1.0, img_shape=shape_nopad),
+        )
+
+        @jax.jit
+        def step_aug(variables, imgs, ref_imgs, tstate):
+            return detector.apply(
+                variables, imgs, ref_imgs, tstate, aug_metas,
+                img_shape_withoutpad=shape_nopad,
+                method=detector.predict_aug,
+            )
+
+        tstate = state0
+        for idx in range(len(dataset)):
+            img, ref_img, meta = dataset.prepare_test(idx)
+            if meta["is_first"]:
+                tstate = empty_track_state(cap=args.track_cap)
+            imgs = np.stack([img, img[:, ::-1]])[:, None]
+            ref_imgs = np.stack([ref_img, ref_img[:, ::-1]])[:, None]
+            outputs, tstate = step_aug(
+                variables, jnp.asarray(imgs), jnp.asarray(ref_imgs), tstate
+            )
+            record({k: np.asarray(v) for k, v in outputs.items()}, meta)
+    elif args.chunk > 1:
         # on-device lax.scan over chunks of frames, whole videos
         # round-robined over per-device streams (vps_tpu
         # run_video_streams): one dispatch per chunk, eval throughput
@@ -146,12 +183,13 @@ def main():
                 ref_feats = None
             if ref_feats is None:
                 outputs, tstate = step_first(
-                    jnp.asarray(img[None]), jnp.asarray(ref_img[None]), tstate
+                    variables, jnp.asarray(img[None]),
+                    jnp.asarray(ref_img[None]), tstate,
                 )
             else:
                 outputs, tstate = step(
-                    jnp.asarray(img[None]), jnp.asarray(ref_img[None]), tstate,
-                    ref_feats,
+                    variables, jnp.asarray(img[None]),
+                    jnp.asarray(ref_img[None]), tstate, ref_feats,
                 )
             ref_feats = outputs["fpn_feats"]
             record({k: np.asarray(v) for k, v in outputs.items()
