@@ -36,6 +36,9 @@ def main():
 
     import jax
 
+    from vps_tpu.utils.platform import apply_env_platforms
+    apply_env_platforms()
+
     # persistent XLA compile cache: the full-res FuseTrack graph takes
     # minutes to compile; cache hits bring reruns down to seconds.
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")

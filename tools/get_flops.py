@@ -22,6 +22,9 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from vps_tpu.utils.platform import apply_env_platforms
+    apply_env_platforms()
     import jax.numpy as jnp
     import numpy as np
 

@@ -35,6 +35,9 @@ def main():
 
     import jax
 
+    from vps_tpu.utils.platform import apply_env_platforms
+    apply_env_platforms()
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.cache:

@@ -31,6 +31,9 @@ def main():
 
     import jax
 
+    from vps_tpu.utils.platform import apply_env_platforms
+    apply_env_platforms()
+
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     if args.cpu:

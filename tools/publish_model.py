@@ -23,6 +23,9 @@ def main():
 
     from vps_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
     import jax
+
+    from vps_tpu.utils.platform import apply_env_platforms
+    apply_env_platforms()
     import numpy as np
 
     restored = load_checkpoint(args.in_ckpt)

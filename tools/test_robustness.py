@@ -58,6 +58,9 @@ def main():
     args = parse_args()
     import jax
 
+    from vps_tpu.utils.platform import apply_env_platforms
+    apply_env_platforms()
+
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp

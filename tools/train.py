@@ -36,6 +36,9 @@ def main():
     args = parse_args()
     import jax
 
+    from vps_tpu.utils.platform import apply_env_platforms
+    apply_env_platforms()
+
     if args.distributed:
         # reference init_dist (apis/env.py:13-50) equivalent: rendezvous is
         # discovered from the TPU runtime or SLURM_* env vars.

@@ -89,6 +89,13 @@ class Runner:
         for batch in self.loader.epoch(0):
             first_batch = batch
             break
+        if first_batch is None:
+            raise ValueError(
+                f"empty first epoch: dataset ({len(self.loader.dataset)} "
+                f"samples) is smaller than the global batch "
+                f"({self.loader.batch_size} = batch/host x hosts); "
+                f"reduce data.imgs_per_gpu or the device count"
+            )
         state = self.init_state(first_batch)
 
         start_epoch = 0
