@@ -107,3 +107,35 @@ def test_roi_align_grad_flows():
     g = jax.grad(f)(feat)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_nearest_sampling_matches_bilinear_at_integer_coords():
+    """fast-preset knob: with the ROI laid out so every in-bin sample lands
+    exactly on a pixel center, bilinear degenerates to the one corner and
+    nearest must agree with it bitwise."""
+    rng = np.random.RandomState(3)
+    feat = jnp.asarray(rng.randn(32, 32, 4).astype(np.float32))
+    # +1 end offset: roi_w = x2 + 1 = 2*out -> bin = 2; sn=1 sample offsets
+    # p + 0.5 -> x = 2p + 1, integers.
+    out = 7
+    rois = jnp.asarray(np.array([[0.0, 0.0, 2.0 * out - 1, 2.0 * out - 1]],
+                                np.float32))
+    near = roi_align(feat, rois, 1.0, out, sample_num=1, sampling="nearest")
+    bilin = roi_align(feat, rois, 1.0, out, sample_num=1)
+    np.testing.assert_allclose(np.asarray(near), np.asarray(bilin),
+                               rtol=0, atol=0)
+
+
+def test_nearest_sampling_multilevel_shape_and_validity():
+    rng = np.random.RandomState(4)
+    strides = [4, 8]
+    feats = [jnp.asarray(rng.randn(16 // (s // 4), 20 // (s // 4), 8)
+                         .astype(np.float32)) for s in strides]
+    rois = jnp.asarray(np.array([[4.0, 4.0, 40.0, 40.0],
+                                 [0.0, 0.0, 60.0, 60.0]], np.float32))
+    valid = jnp.asarray(np.array([True, False]))
+    got = multilevel_roi_align(feats, rois, strides, 7, 1, valid=valid,
+                               sampling="nearest")
+    assert got.shape == (2, 7, 7, 8)
+    assert np.abs(np.asarray(got[1])).max() == 0.0
+    assert np.isfinite(np.asarray(got)).all()

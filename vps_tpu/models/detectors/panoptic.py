@@ -263,7 +263,8 @@ class PanopticFuseTrack(nn.Module):
 
     def _roi_feats(self, feats, rois, out_size, valid=None):
         strides = self.bbox_roi_cfg.get("featmap_strides", [4, 8, 16, 32])
-        sample_num = self.bbox_roi_cfg.get("roi_layer", {}).get("sample_num", 2)
+        roi_layer = self.bbox_roi_cfg.get("roi_layer", {})
+        sample_num = roi_layer.get("sample_num", 2)
         # bf16 gathers halve the HBM traffic of the tap lookups; the 4-tap
         # bilinear mix and downstream heads accumulate in f32.
         out = multilevel_roi_align(
@@ -273,6 +274,7 @@ class PanopticFuseTrack(nn.Module):
             out_size,
             sample_num,
             valid=valid,
+            sampling=roi_layer.get("sampling", "bilinear"),
         )
         return out.astype(jnp.float32)
 

@@ -77,14 +77,32 @@ def _bilinear_weights_and_indices(x, y, height, width):
     return (idx00, idx01, idx10, idx11), (hy * hx, hy * lx, ly * hx, ly * lx), inb
 
 
-def roi_align(feat, rois, spatial_scale, out_size, sample_num=2, valid=None):
+def _nearest_weights_and_indices(x, y, height, width):
+    """Nearest-pixel sampling (fast preset): one gather per sample tap
+    instead of four. Same out-of-bounds rule as the bilinear kernel."""
+    inb = (y >= -1.0) & (y <= height) & (x >= -1.0) & (x <= width)
+    h1 = (height - 1) if hasattr(height, "astype") else float(height) - 1
+    w1 = (width - 1) if hasattr(width, "astype") else float(width) - 1
+    yn = jnp.clip(jnp.round(y), 0.0, h1).astype(jnp.int32)
+    xn = jnp.clip(jnp.round(x), 0.0, w1).astype(jnp.int32)
+    wint = width.astype(jnp.int32) if hasattr(width, "astype") else int(width)
+    return (yn * wint + xn,), (jnp.ones_like(x),), inb
+
+
+def roi_align(feat, rois, spatial_scale, out_size, sample_num=2, valid=None,
+              sampling="bilinear"):
     """Single-level RoIAlign. feat (H, W, C); rois (R, 4) image coords.
 
     Returns (R, out, out, C)."""
     h, w, c = feat.shape
     r = rois.shape[0]
     x, y = _sample_coords(rois, spatial_scale, out_size, sample_num)
-    idxs, ws, inb = _bilinear_weights_and_indices(x, y, jnp.float32(h), jnp.float32(w))
+    if sampling == "nearest":
+        idxs, ws, inb = _nearest_weights_and_indices(
+            x, y, jnp.float32(h), jnp.float32(w))
+    else:
+        idxs, ws, inb = _bilinear_weights_and_indices(
+            x, y, jnp.float32(h), jnp.float32(w))
     flat = feat.reshape(h * w, c)
     out = 0.0
     for idx, wgt in zip(idxs, ws):
@@ -108,6 +126,7 @@ def multilevel_roi_align(
     sample_num: int = 2,
     finest_scale: int = 56,
     valid=None,
+    sampling: str = "bilinear",
 ):
     """FPN RoIAlign with level mapping, one fused gather.
 
@@ -153,9 +172,14 @@ def multilevel_roi_align(
     y = jnp.broadcast_to(ys[:, :, None], (r, off.size, off.size)).reshape(r, -1)
     x = jnp.broadcast_to(xs[:, None, :], (r, off.size, off.size)).reshape(r, -1)
 
-    idxs, wgts, inb = _bilinear_weights_and_indices(
-        x, y, roi_h[:, None], roi_w[:, None]
-    )
+    if sampling == "nearest":
+        idxs, wgts, inb = _nearest_weights_and_indices(
+            x, y, roi_h[:, None], roi_w[:, None]
+        )
+    else:
+        idxs, wgts, inb = _bilinear_weights_and_indices(
+            x, y, roi_h[:, None], roi_w[:, None]
+        )
 
     flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
     out = 0.0
