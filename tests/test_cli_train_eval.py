@@ -104,6 +104,22 @@ def test_train_then_test_vpq_cli(tmp_path):
             assert pano.shape == (H, W)
         results_by_chunk[chunk] = results
 
+    # --aug: flip TTA through MultiScaleFlipAug -> predict_aug merge. The
+    # merged predictions legitimately differ from the plain path, so the
+    # assertions are structural (it runs end-to-end and emits all frames).
+    out_pkl = str(tmp_path / "out_aug.pkl")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "test_vpq.py"),
+         cfg_path, "--checkpoint", ckpt, "--out", out_pkl, "--aug"],
+        env=env, capture_output=True, text=True, timeout=2700,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    with open(out_pkl.replace(".pkl", "_pano.pkl"), "rb") as f:
+        aug_results = pickle.load(f)
+    assert len(aug_results["all_names"]) == 4
+    for pano in aug_results["all_panos"]:
+        assert pano.shape == (H, W)
+
     r1, r2 = results_by_chunk[1], results_by_chunk[2]
     assert r1["all_names"] == r2["all_names"]
     # The per-frame loop and the lax.scan path are the same math compiled as

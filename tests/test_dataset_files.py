@@ -138,3 +138,29 @@ def test_ann_parsing_skips_crowd_and_degenerate(tmp_path):
     # the degenerate (w<1) and crowd boxes are dropped; the real one stays
     assert ann["bboxes"].shape == (1, 4)
     assert ann["labels"].tolist() == [3]
+
+
+def test_prepare_test_aug_variants(tmp_path):
+    """--aug path: MultiScaleFlipAug enumerates (scale x flip) variants of
+    the test-pipeline output; variant 0 must equal prepare_test's output
+    and the flip variant must be its exact horizontal mirror (same padded
+    canvas at the test scale)."""
+    ann_file, img_dir, _ = _write_fixture(str(tmp_path))
+    from vps_tpu.data.transforms import TestPipeline
+
+    ds = build_dataset(dict(
+        type="CityscapesVPSDataset",
+        ann_file=ann_file, img_prefix=img_dir,
+        nframes_span_test=2, test_mode=True,
+        pipeline=TestPipeline(img_scale=(W, H)),
+    ))
+    img, ref, meta = ds.prepare_test(1)
+    variants, ameta = ds.prepare_test_aug(1, flip=True)
+    assert len(variants) == 2
+    assert not variants[0]["flip"] and variants[1]["flip"]
+    np.testing.assert_array_equal(variants[0]["img"], img)
+    np.testing.assert_array_equal(variants[0]["ref_img"], ref)
+    np.testing.assert_array_equal(variants[1]["img"], img[:, ::-1])
+    assert ameta["img_shape_withoutpad"] == meta["img_shape_withoutpad"]
+    assert ameta["is_first"] == meta["is_first"]
+    assert variants[1]["scale_factor"] == variants[0]["scale_factor"]

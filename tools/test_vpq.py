@@ -128,14 +128,14 @@ def main():
             print(f"[{done}/{len(dataset)}] {fps:.2f} fps", file=sys.stderr)
 
     if args.aug:
-        # TTA path: flip variants merged on-device (detector.predict_aug —
-        # the reference's aug-test merge, test_mixins.py:43-110). Canonical
-        # variant 0 = the plain test-pipeline output; variant 1 = its
-        # horizontal flip of the padded canvas.
-        aug_metas = (
-            dict(flip=False, scale_ratio=1.0, img_shape=shape_nopad),
-            dict(flip=True, scale_ratio=1.0, img_shape=shape_nopad),
-        )
+        # TTA path: flip variants enumerated by the data pipeline's
+        # MultiScaleFlipAug (reference datasets/pipelines/test_aug.py) and
+        # merged on-device by detector.predict_aug (the reference's
+        # aug-test merge, test_mixins.py:43-110). Variant 0 = the plain
+        # test-pipeline output; flip variants at the test scale share its
+        # padded canvas, so the enumerator's flip IS the canvas flip
+        # predict_aug inverts.
+        aug_metas = None
 
         @jax.jit
         def step_aug(variables, imgs, ref_imgs, tstate):
@@ -147,11 +147,26 @@ def main():
 
         tstate = state0
         for idx in range(len(dataset)):
-            img, ref_img, meta = dataset.prepare_test(idx)
+            variants, meta = dataset.prepare_test_aug(idx, flip=True)
+            metas_i = tuple(
+                dict(flip=v["flip"],
+                     scale_ratio=v["scale_factor"]
+                     / variants[0]["scale_factor"],
+                     img_shape=v["img_shape_withoutpad"])
+                for v in variants
+            )
+            if aug_metas is None:
+                aug_metas = metas_i  # captured by step_aug at first trace
+            elif metas_i != aug_metas:
+                raise ValueError(
+                    f"aug meta changed mid-run (frame {idx}): {metas_i} != "
+                    f"{aug_metas}; mixed raw image sizes need one jit "
+                    "specialization per shape"
+                )
             if meta["is_first"]:
                 tstate = empty_track_state(cap=args.track_cap)
-            imgs = np.stack([img, img[:, ::-1]])[:, None]
-            ref_imgs = np.stack([ref_img, ref_img[:, ::-1]])[:, None]
+            imgs = np.stack([v["img"] for v in variants])[:, None]
+            ref_imgs = np.stack([v["ref_img"] for v in variants])[:, None]
             outputs, tstate = step_aug(
                 variables, jnp.asarray(imgs), jnp.asarray(ref_imgs), tstate
             )

@@ -220,6 +220,37 @@ class CityscapesVPSDataset:
         )
         return pimg, pref, meta
 
+    def prepare_test_aug(self, idx: int, flip: bool = True, scales=None):
+        """Test-time-augmentation variants of frame ``idx`` enumerated by
+        MultiScaleFlipAug (reference datasets/pipelines/test_aug.py via
+        test_mixins aug_test, tools/test_vpq.py --aug). Returns
+        (variants, meta): variants as produced by MultiScaleFlipAug
+        (variant 0 = canonical unflipped test-pipeline output), meta as in
+        prepare_test."""
+        from vps_tpu.data.transforms import MultiScaleFlipAug
+
+        img_info = self.img_infos[idx]
+        if idx % self.nframes_span_test > 0:
+            ref_info = self.img_infos[idx - 1]
+        else:
+            ref_info = img_info
+        img = self._load_img(self.img_prefix, img_info["filename"])
+        ref_img = self._load_img(self.ref_prefix, ref_info["file_name"])
+        p = self.pipeline
+        tta = MultiScaleFlipAug(
+            img_scales=scales or (p.img_scale,), flip=flip,
+            size_divisor=p.size_divisor, mean=p.mean, std=p.std,
+        )
+        variants = tta(img, ref_img)
+        meta = dict(
+            filename=img_info["filename"],
+            iid=img_info["id"],
+            is_first=(idx % self.nframes_span_test == 0),
+            img_shape_withoutpad=variants[0]["img_shape_withoutpad"],
+            scale_factor=variants[0]["scale_factor"],
+        )
+        return variants, meta
+
 
 @DATASETS.register
 class ViperDataset(CityscapesVPSDataset):
