@@ -19,7 +19,10 @@ import flax.linen as nn
 from vps_tpu.registry import PANOPTIC
 from vps_tpu.models.layers import Conv, resize_bilinear
 from vps_tpu.ops import deform_conv2d
-from vps_tpu.ops.deform_conv import deform_conv2d_windowed
+from vps_tpu.ops.deform_conv import (
+    deform_conv2d_multilevel,
+    deform_conv2d_windowed,
+)
 from vps_tpu.ops.losses import softmax_cross_entropy
 
 
@@ -41,30 +44,50 @@ class DeformConvWithOffset(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        """x: one (B, H, W, C) map or a LIST of them (the shared-tower
+        multi-level case). A list runs all levels through ONE concatenated
+        gather stream (deform_conv2d_multilevel) — gathers are index-bound
+        on TPU, so K·4 gathers total beats K·4 per level — with identical
+        per-element math; params are shared either way."""
+        multilevel = isinstance(x, (list, tuple))
+        xs = list(x) if multilevel else [x]
         k = self.kernel_size
-        offset = Conv(
+        offset_conv = Conv(
             k * k * 2, 3, 1, 1,
             kernel_init=nn.initializers.zeros,
             name="conv_offset",
-        )(x)
+        )
+        offsets = [offset_conv(xi) for xi in xs]
         weight = self.param(
             "weight",
             nn.initializers.he_normal(),
-            (k, k, x.shape[-1], self.features),
+            (k, k, xs[0].shape[-1], self.features),
         )
         cd = self.compute_dtype
-        xc = x if cd is None else x.astype(cd)
+        xcs = xs if cd is None else [xi.astype(cd) for xi in xs]
         wc = weight if cd is None else weight.astype(cd)
         if self.dcn_window is not None:
-            out = deform_conv2d_windowed(
-                xc, offset, wc, self.padding, int(self.dcn_window)
-            )
-        else:
-            out = deform_conv2d(
-                xc, offset, wc, padding=self.padding,
+            outs = [
+                deform_conv2d_windowed(
+                    xc, off, wc, self.padding, int(self.dcn_window)
+                )
+                for xc, off in zip(xcs, offsets)
+            ]
+        elif multilevel:
+            outs = deform_conv2d_multilevel(
+                xcs, offsets, wc, padding=self.padding,
                 sampling=self.dcn_sampling,
             )
-        return out.astype(jnp.float32) if cd is not None else out
+        else:
+            outs = [
+                deform_conv2d(
+                    xcs[0], offsets[0], wc, padding=self.padding,
+                    sampling=self.dcn_sampling,
+                )
+            ]
+        if cd is not None:
+            outs = [o.astype(jnp.float32) for o in outs]
+        return outs if multilevel else outs[0]
 
 
 @PANOPTIC.register
@@ -102,12 +125,12 @@ class UPSNetFPN(nn.Module):
         norms = [
             nn.GroupNorm(num_groups=32, name=n) for _, n in tower
         ]
-        outs = []
-        for f in inputs:
-            x = f
-            for (dc, _), gn in zip(tower, norms):
-                x = jax.nn.relu(gn(dc(x)))
-            outs.append(x)
+        # shared tower over all levels at once: each stage issues ONE
+        # concatenated gather stream instead of one per level (index-bound,
+        # PERF.md); GroupNorm stays per-level (reference per-level stats)
+        outs = list(inputs)
+        for (dc, _), gn in zip(tower, norms):
+            outs = [jax.nn.relu(gn(x)) for x in dc(outs)]
         h, w = outs[0].shape[1:3]
         feat = jnp.concatenate(
             [outs[0]]
