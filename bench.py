@@ -8,7 +8,20 @@ R-50-FPN at 10.6 fps on a V100 (docs/MODEL_ZOO.md:92); VPSNet-FuseTrack adds
 FlowNet2 + fusion + tracking + panoptic fusion on top, so 10.6 is a
 generous stand-in denominator (the real FuseTrack is several× slower).
 
-Usage: python bench.py [--size HxW] [--iters N] [--warmup N]
+Presets (every metric name carries its preset label — PERF.md has the table):
+  exact     — reference-exact semantics: FULL-RES FlowNet2 input
+              (panoptic_fusetrack.py:117-143) and f32 compute end to end.
+  half-flow — the shipped default config: half-res flow input + bf16 conv
+              stacks, f32 params/accum (documented approximations, PERF.md).
+  fast      — half-flow plus nearest DCN/warp sampling, 1-tap RoIAlign,
+              quarter-res flow (zoo.fast_overrides).
+
+Resilience: the TPU rides a tunnel that can flake. Backend init and the
+first device op retry with backoff on UNAVAILABLE; if the tunnel never comes
+up we emit a structured JSON line with "error": "infra_unavailable" and exit
+rc=2 so the driver can tell infra-down from code-broken (rc=1).
+
+Usage: python bench.py [--size HxW] [--iters N] [--warmup N] [--preset P]
 """
 
 from __future__ import annotations
@@ -23,15 +36,48 @@ import numpy as np
 BASELINE_FPS = 10.6  # docs/MODEL_ZOO.md:92 (Mask R-CNN R-50-FPN, V100)
 
 
+def fail(kind: str, msg: str, rc: int) -> None:
+    print(json.dumps({
+        "metric": "fusetrack_inference_fps", "value": 0.0,
+        "unit": "frames/sec/chip", "vs_baseline": 0.0,
+        "error": kind, "detail": msg[-2000:],
+    }))
+    sys.exit(rc)
+
+
+def init_backend_with_retry(jax, tries: int = 5):
+    """jax.devices() with exponential backoff on tunnel UNAVAILABLE."""
+    delay = 10.0
+    last = None
+    for i in range(tries):
+        try:
+            return jax.devices()
+        except Exception as e:  # noqa: BLE001 — classify below
+            last = e
+            s = str(e)
+            if "UNAVAILABLE" not in s and "unavailable" not in s.lower():
+                raise
+            print(f"backend init UNAVAILABLE (try {i + 1}/{tries}), "
+                  f"retrying in {delay:.0f}s", file=sys.stderr)
+            time.sleep(delay)
+            delay *= 2
+    fail("infra_unavailable", str(last), rc=2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="1024x2048")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
-    ap.add_argument("--preset", default="exact", choices=["exact", "fast"],
-                    help="'fast' applies zoo.fast_overrides (documented "
-                         "approximations, PERF.md); metric name is suffixed")
+    ap.add_argument("--preset", default="half-flow",
+                    choices=["exact", "half-flow", "fast"],
+                    help="see module docstring; the metric name is suffixed "
+                         "with the preset so every number is labeled")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="independent video streams batched in one graph "
+                         "(per-stream state; fps reported per frame across "
+                         "all streams)")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +92,7 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    init_backend_with_retry(jax)
     import jax.numpy as jnp
 
     from vps_tpu import zoo
@@ -55,12 +102,15 @@ def main():
     cfg = zoo.fusetrack_model_cfg()
     if args.preset == "fast":
         cfg = zoo.fast_overrides(cfg)
+    elif args.preset == "exact":
+        cfg = zoo.exact_overrides(cfg)
     cfg.pop("type")
     det = PanopticFuseTrack(
         train_cfg=zoo.fusetrack_train_cfg(), test_cfg=zoo.fusetrack_test_cfg(),
         **cfg,
     )
 
+    B = args.batch
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
     ref_img = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
@@ -68,7 +118,8 @@ def main():
 
     t0 = time.time()
     init_fn = jax.jit(
-        lambda k: det.init({"params": k}, img, ref_img, state, method=det.predict)
+        lambda k: det.init({"params": k}, img, ref_img, state,
+                           method=det.predict)
     )
     variables = init_fn(jax.random.PRNGKey(0))
     jax.block_until_ready(variables)
@@ -86,13 +137,9 @@ def main():
     # TPU returns early; per-frame fetches would add ~31 ms tunnel RTT each).
     from vps_tpu.models.detectors import predict_video
 
-    clip = jnp.asarray(
-        rng.randn(args.iters, 1, h, w, 3).astype(np.float32)
-    )
     no_resets = jnp.zeros((args.iters,), bool)
 
-    @jax.jit
-    def run_clip(variables, clip, state, prev_img, prev_feats):
+    def one_stream(variables, clip, state, prev_img, prev_feats):
         outputs, (state, feats, last) = predict_video(
             det, variables, clip, no_resets, state, prev_img,
             prev_feats=prev_feats,
@@ -100,13 +147,41 @@ def main():
         chk = jnp.sum(outputs["panoptic_outputs"].astype(jnp.int32))
         return chk, state, feats, last
 
-    prev_feats = jax.jit(
+    if B > 1:
+        # B independent video streams (per-stream tracking state) batched
+        # into ONE program: vmap over a leading stream axis so the VPU
+        # gather stalls of one stream overlap the MXU conv work of another.
+        fn = jax.vmap(one_stream, in_axes=(None, 0, 0, 0, 0))
+
+        def run_clip(v, clip, state, prev_img, prev_feats):
+            chk, state, feats, last = fn(v, clip, state, prev_img,
+                                         prev_feats)
+            return jnp.sum(chk), state, feats, last
+        run_clip = jax.jit(run_clip)
+        clip = jnp.asarray(
+            rng.randn(B, args.iters, 1, h, w, 3).astype(np.float32))
+        state = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), state)
+        first_ref = jnp.asarray(
+            rng.randn(B, 1, h, w, 3).astype(np.float32))
+    else:
+        run_clip = jax.jit(one_stream)
+        clip = jnp.asarray(
+            rng.randn(args.iters, 1, h, w, 3).astype(np.float32))
+        first_ref = ref_img
+
+    extract = jax.jit(
         lambda v, im: det.apply(v, im, method=det.extract_feat)
-    )(variables, ref_img)
+    )
+    if B > 1:
+        prev_feats = jax.vmap(extract, in_axes=(None, 0))(
+            variables, first_ref)
+    else:
+        prev_feats = extract(variables, first_ref)
 
     t0 = time.time()
     chk, state, prev_feats, prev_img = run_clip(
-        variables, clip, state, ref_img, prev_feats
+        variables, clip, state, first_ref, prev_feats
     )
     float(chk)
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
@@ -122,12 +197,14 @@ def main():
         variables, clip, state, prev_img, prev_feats
     )
     float(chk)  # single scalar host fetch = hard sync of the whole clip
-    dt = (time.time() - t0) / args.iters
+    dt = (time.time() - t0) / (args.iters * B)
     fps = 1.0 / dt
 
+    label = {"exact": "exact", "half-flow": "halfflow", "fast": "fast"}[
+        args.preset]
     print(json.dumps({
-        "metric": f"fusetrack_inference_fps_{h}x{w}"
-                  + ("_fast" if args.preset == "fast" else ""),
+        "metric": f"fusetrack_inference_fps_{h}x{w}_{label}"
+                  + (f"_b{B}" if B > 1 else ""),
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -37,6 +37,44 @@ lr_config = dict(policy="step", warmup="linear", warmup_iters=2,
 """
 
 
+def test_exact_overrides_restore_reference_semantics():
+    """round-2 VERDICT item 2: the `exact` preset must recover full-res
+    FlowNet2 input (panoptic_fusetrack.py:117-143) and f32 compute in every
+    stack that defaults to bf16 (backbone, fuse neck, semantic-head DCN,
+    FlowNet2 cascade)."""
+    from vps_tpu import zoo
+    from vps_tpu.models.detectors import PanopticFuseTrack
+
+    cfg = zoo.exact_overrides(zoo.fusetrack_model_cfg())
+    assert cfg["flow_input_scale"] == 1.0
+    c = dict(cfg)
+    c.pop("type")
+    det = PanopticFuseTrack(
+        train_cfg=zoo.fusetrack_train_cfg(),
+        test_cfg=zoo.fusetrack_test_cfg(), **c,
+    )
+    b = det.bind({"params": {}})  # triggers setup without any compute
+    assert b.flow_input_scale == 1.0
+    assert b.backbone_m.dtype is None
+    assert b.extra_neck_m.compute_dtype is None
+    assert b.panoptic_m.compute_dtype is None
+    assert b.flownet2_m.compute_dtype is None
+
+    # ... and the shipped default keeps the documented half-flow
+    # approximations (half-res flow, bf16 conv stacks)
+    import jax.numpy as jnp
+    dc = zoo.fusetrack_model_cfg()
+    dc.pop("type")
+    det_d = PanopticFuseTrack(
+        train_cfg=zoo.fusetrack_train_cfg(),
+        test_cfg=zoo.fusetrack_test_cfg(), **dc,
+    )
+    bd = det_d.bind({"params": {}})
+    assert bd.flow_input_scale == 0.5
+    assert bd.backbone_m.dtype == jnp.bfloat16
+    assert bd.flownet2_m.compute_dtype == jnp.bfloat16
+
+
 @pytest.mark.cli
 def test_fast_preset_agrees_with_exact(tmp_path):
     ann_file, img_dir, seg_dir = _write_fixture(str(tmp_path))

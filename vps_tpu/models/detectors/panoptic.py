@@ -186,6 +186,8 @@ class PanopticFuseTrack(nn.Module):
         )
         if self.panoptic is not None:
             p = dict(self.panoptic)
+            _pcd = {None: _jnp.bfloat16, "bfloat16": _jnp.bfloat16,
+                    "float32": None}[p.get("compute_dtype", None)]
             self.panoptic_m = UPSNetFPN(
                 in_channels=p.get("in_channels", 256),
                 out_channels=p.get("out_channels", 128),
@@ -196,6 +198,7 @@ class PanopticFuseTrack(nn.Module):
                 loss_weight=p.get("loss_weight", 1.0),
                 dcn_window=p.get("dcn_window", None),
                 dcn_sampling=p.get("dcn_sampling", "bilinear"),
+                compute_dtype=_pcd,
                 name="panopticFPN",
             )
         else:
@@ -220,7 +223,12 @@ class PanopticFuseTrack(nn.Module):
             if self.flow is not None and self.flow.get("type") == "TinyFlow":
                 self.flownet2_m = TinyFlowNet(name="flownet2")
             else:
-                self.flownet2_m = FlowNet2(name="flownet2")
+                from vps_tpu.models.flow import flownet2 as _fn2
+                _fcd = {None: _fn2.COMPUTE_DTYPE,
+                        "bfloat16": _fn2.COMPUTE_DTYPE,
+                        "float32": None}[
+                    (self.flow or {}).get("compute_dtype", None)]
+                self.flownet2_m = FlowNet2(compute_dtype=_fcd, name="flownet2")
         else:
             self.flownet2_m = None
         self.bbox_roi_cfg = dict(self.bbox_roi_extractor or {})

@@ -32,8 +32,13 @@ def _lrelu(x):
 # Compute dtype for the (frozen, inference-only) conv stack: bf16 halves HBM
 # traffic and doubles MXU rate. Params stay f32 in the checkpoint; flow
 # *prediction* convs (2-channel outputs) stay f32 — see conv_block — so the
-# regressed displacements keep full precision.
+# regressed displacements keep full precision. FlowNet2.compute_dtype=None
+# recovers reference-exact f32 compute (the `exact` preset): the attribute is
+# published here at trace time (tracing is single-threaded and the subnets
+# are invoked synchronously inside FlowNet2.__call__), which avoids threading
+# a dtype argument through every one of the cascade's ~50 conv_block sites.
 COMPUTE_DTYPE = jnp.bfloat16
+_ACTIVE_DTYPE = COMPUTE_DTYPE
 
 
 class TorchConvTranspose(nn.Module):
@@ -77,7 +82,7 @@ class TorchConvTranspose(nn.Module):
 
 
 def conv_block(features, kernel=3, stride=1, name=None):
-    dtype = None if features <= 2 else COMPUTE_DTYPE
+    dtype = None if features <= 2 else _ACTIVE_DTYPE
     return Conv(features, kernel, stride, (kernel - 1) // 2, name=name,
                 dtype=dtype)
 
@@ -88,7 +93,7 @@ class _Deconv(nn.Module):
     @nn.compact
     def __call__(self, x):
         return _lrelu(TorchConvTranspose(self.features, 4, 2, 1, name="deconv",
-                                         dtype=COMPUTE_DTYPE)(x))
+                                         dtype=_ACTIVE_DTYPE)(x))
 
 
 class _FlowUp(nn.Module):
@@ -260,9 +265,19 @@ class FlowNet2(nn.Module):
 
     rgb_max: float = 255.0
     div_flow: float = 20.0
+    # None → f32 everywhere (reference-exact); default bf16 conv stack.
+    compute_dtype: object = COMPUTE_DTYPE
 
     @nn.compact
     def __call__(self, img1, img2):
+        global _ACTIVE_DTYPE
+        _ACTIVE_DTYPE = self.compute_dtype
+        try:
+            return self._cascade(img1, img2)
+        finally:
+            _ACTIVE_DTYPE = COMPUTE_DTYPE
+
+    def _cascade(self, img1, img2):
         # joint per-channel mean over both frames (flownet2.py:135-138)
         stacked = jnp.stack([img1, img2], axis=1)  # (B, 2, H, W, 3)
         rgb_mean = jnp.mean(stacked, axis=(1, 2, 3), keepdims=True)

@@ -101,6 +101,9 @@ class UPSNetFPN(nn.Module):
     loss_weight: float = 1.0
     dcn_window: int | None = None
     dcn_sampling: str = "bilinear"
+    # bf16 halves the HBM traffic of the DCN sampling (this head's dominant
+    # cost); None recovers reference-exact f32 compute (the `exact` preset).
+    compute_dtype: object = jnp.bfloat16
 
     @property
     def num_stuff_classes(self):
@@ -114,12 +117,15 @@ class UPSNetFPN(nn.Module):
         tower = [
             (DeformConvWithOffset(self.in_channels, dcn_window=self.dcn_window,
                                   dcn_sampling=self.dcn_sampling,
+                                  compute_dtype=self.compute_dtype,
                                   name="dc0"), "gn0"),
             (DeformConvWithOffset(self.out_channels, dcn_window=self.dcn_window,
                                   dcn_sampling=self.dcn_sampling,
+                                  compute_dtype=self.compute_dtype,
                                   name="dc1"), "gn1"),
             (DeformConvWithOffset(self.out_channels, dcn_window=self.dcn_window,
                                   dcn_sampling=self.dcn_sampling,
+                                  compute_dtype=self.compute_dtype,
                                   name="dc2"), "gn2"),
         ]
         norms = [

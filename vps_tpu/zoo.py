@@ -91,6 +91,23 @@ def fusetrack_test_cfg() -> Dict[str, Any]:
     )
 
 
+def exact_overrides(cfg):
+    """Reference-exact preset: FlowNet2 on FULL-RES frames
+    (panoptic_fusetrack.py:117-143 computes flow at input resolution) and f32
+    compute everywhere (the reference runs f32 end to end). The shipped
+    default ('half-flow') keeps half-res flow input + bf16 conv stacks —
+    documented approximations (PERF.md) that this preset removes."""
+    cfg = copy.deepcopy(cfg)
+    cfg["flow_input_scale"] = 1.0
+    cfg["backbone"]["compute_dtype"] = "float32"
+    if cfg.get("extra_neck"):
+        cfg["extra_neck"]["compute_dtype"] = "float32"
+    if cfg.get("panoptic"):
+        cfg["panoptic"]["compute_dtype"] = "float32"
+    cfg["flow"] = dict(cfg.get("flow") or {}, compute_dtype="float32")
+    return cfg
+
+
 def fast_overrides(cfg):
     """Documented speed/accuracy-tradeoff preset (see PERF.md: the exact
     pipeline is gather-index-bound on TPU). Approximations vs reference:
