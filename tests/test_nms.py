@@ -100,3 +100,32 @@ def test_soft_nms_decays_overlapping():
     assert new_scores[1] < 0.8  # decayed by overlap with box 0
     assert np.isclose(new_scores[2], 0.7)
     assert np.asarray(keep).all()
+
+
+def test_multiclass_nms_cfg_dispatch():
+    """test_cfg.rcnn.nms-style dispatch (reference nms_wrapper.py:52):
+    nms_cfg(type='nms') matches the plain path; type='soft_nms' rescored
+    outputs keep decayed scores and suppress less than hard NMS."""
+    rng = np.random.RandomState(4)
+    n, c = 100, 5
+    boxes = np.tile(_rand(n, rng)[0][:, None, :], (1, c, 1)).reshape(n, c * 4)
+    scores = rng.dirichlet(np.ones(c), size=n).astype(np.float32)
+    b, s = jnp.asarray(boxes), jnp.asarray(scores)
+
+    base = multiclass_nms(b, s, score_thr=0.05, iou_thr=0.5, max_num=30)
+    via_cfg = multiclass_nms(
+        b, s, score_thr=0.05, iou_thr=0.9, max_num=30,
+        nms_cfg=dict(type="nms", iou_thr=0.5),  # cfg overrides iou_thr
+    )
+    for x, y in zip(base, via_cfg):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    sdets, slabels, svalid = multiclass_nms(
+        b, s, score_thr=0.05, iou_thr=0.5, max_num=30,
+        nms_cfg=dict(type="soft_nms", iou_thr=0.3, min_score=0.05),
+    )
+    sdets, svalid = np.asarray(sdets), np.asarray(svalid)
+    # soft-NMS keeps at least as many boxes (decay instead of suppression)
+    assert svalid.sum() >= np.asarray(base[2]).sum()
+    ss = sdets[svalid, 4]
+    assert np.all(np.diff(ss) <= 1e-6) and np.all(ss > 0.05)

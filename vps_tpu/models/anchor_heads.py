@@ -165,6 +165,7 @@ def anchor_head_bboxes(
     max_per_img: int = 100,
     target_means=(0.0, 0.0, 0.0, 0.0),
     target_stds=(1.0, 1.0, 1.0, 1.0),
+    nms_cfg=None,
 ):
     """Decode single-stage anchor head outputs of ONE image into
     fixed-capacity detections (AnchorHead.get_bboxes semantics).
@@ -196,7 +197,7 @@ def anchor_head_bboxes(
     padded = jnp.concatenate([jnp.zeros_like(scores[:, :1]), scores], axis=-1)
     return multiclass_nms(
         boxes, padded, score_thr=score_thr, iou_thr=nms_thr,
-        max_num=max_per_img,
+        max_num=max_per_img, nms_cfg=nms_cfg,
     )
 
 
@@ -223,6 +224,7 @@ def fcos_bboxes(
     score_thr: float = 0.05,
     nms_thr: float = 0.5,
     max_per_img: int = 100,
+    nms_cfg=None,
 ):
     """FCOS decode: boxes from l/t/r/b distances at grid points, scores
     modulated by centerness (fcos_head.py get_bboxes)."""
@@ -249,5 +251,5 @@ def fcos_bboxes(
     padded = jnp.concatenate([jnp.zeros_like(scores[:, :1]), scores], axis=-1)
     return multiclass_nms(
         boxes, padded, score_thr=score_thr, iou_thr=nms_thr,
-        max_num=max_per_img,
+        max_num=max_per_img, nms_cfg=nms_cfg,
     )

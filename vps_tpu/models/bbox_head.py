@@ -60,6 +60,7 @@ def get_det_bboxes(
     target_means=(0.0, 0.0, 0.0, 0.0),
     target_stds=(0.1, 0.1, 0.2, 0.2),
     valid=None,
+    nms_cfg=None,
 ):
     """BBoxHead.get_det_bboxes equivalent (bbox_head.py mmdet 1.x): softmax
     scores → class-specific delta decode (clipped to img) → multiclass NMS.
@@ -69,5 +70,5 @@ def get_det_bboxes(
         scores = scores * valid[:, None]
     boxes = delta2bbox(rois, bbox_deltas, target_means, target_stds, max_shape=img_shape)
     return multiclass_nms(
-        boxes, scores, score_thr, nms_iou_thr, max_per_img
+        boxes, scores, score_thr, nms_iou_thr, max_per_img, nms_cfg=nms_cfg
     )

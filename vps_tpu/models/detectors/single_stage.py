@@ -127,6 +127,7 @@ class RetinaNet(nn.Module):
             score_thr=tcfg.get("score_thr", 0.05),
             nms_thr=tcfg.get("nms_thr", 0.5),
             max_per_img=tcfg.get("max_per_img", 100),
+            nms_cfg=tcfg.get("nms"),
         )
 
 
@@ -175,6 +176,7 @@ class RepPointsDetector(nn.Module):
             score_thr=tcfg.get("score_thr", 0.05),
             nms_thr=tcfg.get("nms_thr", 0.5),
             max_per_img=tcfg.get("max_per_img", 100),
+            nms_cfg=tcfg.get("nms"),
         )
 
 
@@ -214,4 +216,5 @@ class FCOS(nn.Module):
             score_thr=tcfg.get("score_thr", 0.05),
             nms_thr=tcfg.get("nms_thr", 0.5),
             max_per_img=tcfg.get("max_per_img", 100),
+            nms_cfg=tcfg.get("nms"),
         )

@@ -705,6 +705,7 @@ def ga_bboxes(
     nms_thr: float = 0.5,
     max_per_img: int = 100,
     use_loc_filter: bool = True,
+    nms_cfg=None,
 ):
     """Guided-anchor detection decode for ONE image
     (guided_anchor_head.py:548-609 get_bboxes_single): per-level loc-masked
@@ -742,7 +743,7 @@ def ga_bboxes(
     padded = jnp.concatenate([jnp.zeros_like(scores[:, :1]), scores], axis=-1)
     return multiclass_nms(
         boxes, padded, score_thr=score_thr, iou_thr=nms_thr,
-        max_num=max_per_img,
+        max_num=max_per_img, nms_cfg=nms_cfg,
     )
 
 

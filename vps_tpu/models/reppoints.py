@@ -337,6 +337,7 @@ def reppoints_bboxes(
     score_thr: float = 0.05,
     nms_thr: float = 0.5,
     max_per_img: int = 100,
+    nms_cfg=None,
 ):
     """Detection decode for ONE image (reppoints_head.py:506-596): refined
     point sets → boxes (·stride + center), clip, multiclass NMS."""
@@ -371,5 +372,5 @@ def reppoints_bboxes(
     padded = jnp.concatenate([jnp.zeros_like(scores[:, :1]), scores], axis=-1)
     return multiclass_nms(
         boxes, padded, score_thr=score_thr, iou_thr=nms_thr,
-        max_num=max_per_img,
+        max_num=max_per_img, nms_cfg=nms_cfg,
     )

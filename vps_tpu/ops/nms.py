@@ -126,6 +126,7 @@ def multiclass_nms(
     max_num,
     score_factors=None,
     offset=1.0,
+    nms_cfg=None,
 ):
     """Per-class NMS over softmax scores, fixed-capacity output.
 
@@ -134,11 +135,20 @@ def multiclass_nms(
       multi_scores: (N, C) with class 0 = background (skipped), as in the
         reference (mmdet/core/post_processing/bbox_nms.py:36).
       max_num: output capacity (test_cfg.rcnn.max_per_img).
+      nms_cfg: reference-style dispatch dict (ops/nms/nms_wrapper.py:52):
+        ``dict(type='nms'|'soft_nms', iou_thr=..., [min_score, sigma,
+        method])``. When given it overrides ``iou_thr``; soft_nms rescores
+        per class and selection uses the DECAYED scores, matching the
+        reference's soft-NMS path.
 
     Returns (dets (max_num, 5), labels (max_num,), valid (max_num,)):
     dets rows are (x1, y1, x2, y2, score) sorted by score desc; labels are
     0-based thing classes.
     """
+    nms_cfg = dict(nms_cfg or {})
+    nms_type = nms_cfg.get("type", "nms")
+    iou_thr = nms_cfg.get("iou_thr", iou_thr)
+
     n, num_classes = multi_scores.shape
     nc = num_classes - 1  # foreground classes
 
@@ -151,12 +161,29 @@ def multiclass_nms(
         scores_c = scores_c * score_factors[:, None]
     valid_c = scores_c > score_thr
 
-    def per_class(b, s, v):
-        return nms(b, s, iou_thr, valid=v, offset=offset)
+    if nms_type == "soft_nms":
+        def per_class(b, s, v):
+            return soft_nms(
+                b, s, iou_thr=iou_thr,
+                sigma=nms_cfg.get("sigma", 0.5),
+                min_score=nms_cfg.get("min_score", 1e-3),
+                method=nms_cfg.get("method", "linear"),
+                valid=v, offset=offset,
+            )
 
-    keep_c = jax.vmap(per_class, in_axes=(1, 1, 1), out_axes=1)(
-        boxes_c, scores_c, valid_c
-    )  # (N, C-1)
+        scores_dec, keep_c = jax.vmap(
+            per_class, in_axes=(1, 1, 1), out_axes=1
+        )(boxes_c, scores_c, valid_c)
+        scores_c = scores_dec
+    elif nms_type == "nms":
+        def per_class(b, s, v):
+            return nms(b, s, iou_thr, valid=v, offset=offset)
+
+        keep_c = jax.vmap(per_class, in_axes=(1, 1, 1), out_axes=1)(
+            boxes_c, scores_c, valid_c
+        )  # (N, C-1)
+    else:
+        raise ValueError(f"unknown nms type {nms_type!r}")
 
     flat_boxes = boxes_c.reshape(-1, 4)
     flat_scores = scores_c.reshape(-1)
