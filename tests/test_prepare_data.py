@@ -117,3 +117,48 @@ def test_prepare_data_pipeline(tmp_path):
         for s in ann["segments_info"]:
             if s["category_id"] == CAR["id"]:
                 assert s["area"] == 20 * 24
+
+
+def test_debug_panoptic_labels_jsons(tmp_path):
+    """The GT cross-check tool regenerates a things-instances RLE json from
+    panoptic_inst pngs; its annotations must decode back to the exact
+    instance masks the pipeline wrote."""
+    root = _write_raw(str(tmp_path))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    for script, extra in (
+        ("create_panoptic_labels.py", ["--workers", "2"]),
+        ("debug_panoptic_labels_jsons.py", ["--workers", "1"]),
+    ):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "prepare_data", script),
+             "--mode", "val", "--root_dir", root] + extra,
+            env=env, capture_output=True, text=True, timeout=300,
+            cwd=os.path.join(REPO, "prepare_data"),
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+
+    with open(os.path.join(root, "instances_val_cityscapes_rle.json")) as f:
+        coco = json.load(f)
+    assert len(coco["images"]) == 4
+    assert len(coco["annotations"]) == 4  # one car per frame
+    assert all(c["isthing"] == 1 for c in coco["categories"])
+
+    from vps_tpu.data.coco import ann_to_mask
+
+    pan_dir = os.path.join(root, "val", "panoptic_inst")
+    by_image = {im["id"]: im for im in coco["images"]}
+    names = sorted(os.listdir(pan_dir))
+    for ann in coco["annotations"]:
+        assert ann["category_id"] == CAR["id"]
+        im = by_image[ann["image_id"]]
+        mask = ann_to_mask(ann["segmentation"], im["height"], im["width"])
+        name = [n for n in names
+                if int(n[:9].replace("_", "")) == ann["image_id"]][0]
+        pan = np.array(Image.open(os.path.join(pan_dir, name)))
+        np.testing.assert_array_equal(
+            mask.astype(bool), pan == ann["inst_id"])
+        assert ann["area"] == int(mask.sum())
+        x, y, w, h = ann["bbox"]
+        ys, xs = np.nonzero(mask)
+        assert (x, y) == (xs.min(), ys.min())
+        assert (w, h) == (xs.max() - xs.min() + 1, ys.max() - ys.min() + 1)
