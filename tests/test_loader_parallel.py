@@ -81,3 +81,40 @@ def test_host_sharding_disjoint():
     ob = b._plan_epoch(0)[0]
     assert set(oa.tolist()).isdisjoint(ob.tolist())
     assert len(np.concatenate([oa, ob])) == 16
+
+
+class SlowDataset(ToyDataset):
+    """~40 ms of IO-shaped work per sample (sleep, like decode on another
+    core) — 4 workers must hide it behind a 150 ms consumer."""
+
+    def prepare_train(self, idx, rng):
+        import time
+
+        time.sleep(0.04)
+        return {
+            "img": np.full((4, 6), idx, np.float32) + rng.rand(4, 6),
+            "idx": np.asarray(idx, np.int64),
+        }
+
+
+def test_prefetch_overlaps_consumer():
+    import time
+
+    ds = SlowDataset(n=40)
+    par = TrainLoader(ds, batch_size=4, seed=1, num_workers=4,
+                      prefetch_batches=2)
+    try:
+        it = par.epoch(0)
+        next(it)  # warm: fills the prefetch window
+        waits = []
+        for _ in range(6):
+            time.sleep(0.15)  # the "train step"
+            t0 = time.time()
+            next(it)
+            waits.append(time.time() - t0)
+        it.close()
+        # 4 workers produce a 4-sample batch in ~40-80 ms < 150 ms step, so
+        # steady-state waits must be far below the serial cost (4 x 40 ms)
+        assert np.median(waits) < 0.05, waits
+    finally:
+        par.close()

@@ -27,6 +27,16 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--max-gt", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--config", default=None,
+                    help="ALSO time the full Runner-style loop (real loader "
+                         "+ step) on this config's train dataset: reports "
+                         "loader-wait fraction of step time")
+    ap.add_argument("--workers", type=int, default=None,
+                    help="loader workers for --config (default: config's "
+                         "workers_per_gpu x local devices)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="per-host batch for --config (default: local "
+                         "device count)")
     args = ap.parse_args()
 
     import jax
@@ -125,6 +135,49 @@ def main():
     sec = min(ts)
     print(f"train step {args.size}: {sec*1000:.0f} ms/iter "
           f"({[f'{t*1000:.0f}' for t in ts]})", flush=True)
+
+    if args.config:
+        # ---- loader-in-loop: the wall the input pipeline actually adds ----
+        from vps_tpu.config import Config
+        from vps_tpu.data import build_dataset, build_loader
+        from vps_tpu.train.step import make_mesh, shard_batch
+
+        cfg2 = Config.fromfile(args.config)
+        dataset = build_dataset(cfg2.data["train"])
+        bsz = args.batch or jax.local_device_count()
+        workers = args.workers if args.workers is not None else (
+            cfg2.data.get("workers_per_gpu", 2) * max(
+                jax.local_device_count(), 1))
+        loader = build_loader(dataset, bsz, num_workers=workers)
+        mesh = make_mesh()
+        t_wait, t_step, n = 0.0, 0.0, 0
+        it = loader.epoch(0)
+        try:
+            while n < args.iters + 1:
+                t0 = time.time()
+                raw = next(it, None)
+                t_wait_i = time.time() - t0
+                if raw is None:
+                    break
+                t0 = time.time()
+                sharded = shard_batch(
+                    {k: jnp.asarray(v) for k, v in raw.items()}, mesh)
+                _, logs = step(state, sharded, rng)
+                _ = float(logs["loss"])
+                dt = time.time() - t0
+                if n > 0:  # skip the (re)compile iteration
+                    t_wait += t_wait_i
+                    t_step += dt
+                n += 1
+        finally:
+            it.close()
+            loader.close()
+        if t_step > 0:
+            frac = t_wait / t_step
+            print(f"loader-in-loop ({workers} workers, batch {bsz}): "
+                  f"wait {t_wait / max(n - 1, 1) * 1000:.0f} ms/iter, step "
+                  f"{t_step / max(n - 1, 1) * 1000:.0f} ms/iter, "
+                  f"wait/step = {frac:.3f}", flush=True)
 
 
 if __name__ == "__main__":

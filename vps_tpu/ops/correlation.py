@@ -141,6 +141,45 @@ def _correlation_xla(f1, f2, max_displacement: int, stride2: int = 1):
     return jnp.transpose(out, (1, 2, 3, 0)).astype(f1.dtype)
 
 
+def _correlation_dispatch(f1, f2, max_displacement: int, stride2: int = 1):
+    """Forward dispatch (pallas for small-batch dense search on TPU, XLA
+    otherwise), wrapped in a custom_vmap that collapses any vmapped leading
+    axis into the batch dim — pallas_call has no automatic batching rule."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def run(a, b):
+        if (
+            jax.devices()[0].platform == "tpu"
+            and stride2 == 1
+            and a.ndim == 4
+            and a.shape[0] <= 8
+            and a.shape[-1] % 128 == 0
+        ):
+            out = jnp.stack([
+                _correlation_pallas_2d(a[i], b[i], max_displacement, stride2)
+                for i in range(a.shape[0])
+            ])
+            return out.astype(a.dtype)
+        return _correlation_xla(a, b, max_displacement, stride2)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, a, b):  # noqa: ANN001
+        if not in_batched[0]:
+            a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        if not in_batched[1]:
+            b = jnp.broadcast_to(b[None], (axis_size,) + b.shape)
+        s = a.shape[0]
+        flat = _correlation_dispatch(
+            a.reshape((-1,) + a.shape[2:]),
+            b.reshape((-1,) + b.shape[2:]),
+            max_displacement, stride2,
+        )
+        return flat.reshape((s, -1) + flat.shape[1:]), True
+
+    return run(f1, f2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def correlation(f1, f2, max_displacement: int, stride2: int = 1):
     """f1, f2: (B, H, W, C) → (B, H, W, D²) with D = 2*(md//stride2)+1.
@@ -157,17 +196,14 @@ def correlation(f1, f2, max_displacement: int, stride2: int = 1):
     Measured on v5e at VPS shapes: pallas wins for dense search (stride2=1,
     the Fuse neck's 81-channel cost volume: 45→32 ms at 256×512×256); the
     strided FlowNetC case (441 ch) is faster via XLA, so it dispatches there.
+
+    vmap-safe: Pallas kernels have no automatic batching rule, so a
+    custom_vmap inside the dispatch collapses any vmapped leading axis into
+    the batch dim (the batched-streams bench and batched training paths
+    vmap over this op); custom_vjp sits OUTERMOST so autodiff never sees
+    the custom_vmap (which has no reverse-mode rule).
     """
-    if (
-        jax.devices()[0].platform == "tpu"
-        and stride2 == 1
-        and f1.ndim == 4
-        and f1.shape[0] == 1
-        and f1.shape[-1] % 128 == 0
-    ):
-        out = _correlation_pallas_2d(f1[0], f2[0], max_displacement, stride2)
-        return out[None].astype(f1.dtype)
-    return _correlation_xla(f1, f2, max_displacement, stride2)
+    return _correlation_dispatch(f1, f2, max_displacement, stride2)
 
 
 def _correlation_fwd(f1, f2, max_displacement, stride2):
