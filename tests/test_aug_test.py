@@ -110,3 +110,89 @@ def test_predict_aug_flip_variant_runs_and_merges():
     if boxes.size:
         assert boxes[:, 0].min() >= 0 and boxes[:, 2].max() <= W - 1
     assert np.isfinite(np.asarray(out["panoptic_cls_prob"])).all()
+
+
+def test_box_map_matches_reference_bbox_mapping():
+    """_map_boxes_into/_map_boxes_back vs a numpy transcription of the
+    reference bbox_mapping/bbox_mapping_back (core/bbox/transforms.py:71-103)
+    at unequal scales: flip happens over the VARIANT's img_shape."""
+
+    def ref_flip(b, shape):
+        out = b.copy()
+        out[..., 0] = shape[1] - b[..., 2] - 1
+        out[..., 2] = shape[1] - b[..., 0] - 1
+        return out
+
+    def ref_mapping(b, shape, sf, flip):
+        nb = b * sf
+        return ref_flip(nb, shape) if flip else nb
+
+    def ref_mapping_back(b, shape, sf, flip):
+        nb = ref_flip(b, shape) if flip else b
+        return nb / sf
+
+    rng = np.random.RandomState(3)
+    boxes = np.zeros((16, 4), np.float32)
+    boxes[:, 0] = rng.uniform(0, W - 20, 16)
+    boxes[:, 1] = rng.uniform(0, H - 20, 16)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(4, 19, 16)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(4, 19, 16)
+    jb = jnp.asarray(boxes)
+    for ratio in (0.5, 1.0, 1.5):
+        hv, wv = int(round(H * ratio)), int(round(W * ratio))
+        for flip in (False, True):
+            into = np.asarray(PanopticFuseTrack._map_boxes_into(
+                jb, flip, ratio, (hv, wv)))
+            want = ref_mapping(boxes, (hv, wv), ratio, flip)
+            np.testing.assert_allclose(into, want, atol=1e-4)
+            back = np.asarray(PanopticFuseTrack._map_boxes_back(
+                jnp.asarray(want), flip, ratio, (hv, wv)))
+            np.testing.assert_allclose(
+                back, ref_mapping_back(want, (hv, wv), ratio, flip),
+                atol=1e-4)
+            np.testing.assert_allclose(back, boxes, atol=1e-4)
+
+
+def test_predict_aug_multiscale_variants_run_and_merge():
+    """Three variants on one canvas — canonical, half-scale, half-scale
+    flipped — exercise the scale_ratio mapping + content-region flips."""
+    det = _detector()
+    rng = np.random.RandomState(4)
+    img = rng.randn(H, W, 3).astype(np.float32)
+    ref = rng.randn(H, W, 3).astype(np.float32)
+
+    import cv2
+
+    def variant(src, ratio, flip):
+        hv, wv = int(H * ratio), int(W * ratio)
+        v = cv2.resize(src, (wv, hv), interpolation=cv2.INTER_LINEAR)
+        if flip:
+            v = v[:, ::-1]
+        canvas = np.zeros((H, W, 3), np.float32)
+        canvas[:hv, :wv] = v
+        return canvas
+
+    metas = (
+        dict(flip=False, scale_ratio=1.0, img_shape=(H, W)),
+        dict(flip=False, scale_ratio=0.5, img_shape=(H // 2, W // 2)),
+        dict(flip=True, scale_ratio=0.5, img_shape=(H // 2, W // 2)),
+    )
+    imgs = jnp.asarray(np.stack(
+        [variant(img, m["scale_ratio"], m["flip"]) for m in metas]
+    )[:, None])
+    refs = jnp.asarray(np.stack(
+        [variant(ref, m["scale_ratio"], m["flip"]) for m in metas]
+    )[:, None])
+
+    variables, state = _init(det, imgs[0])
+    out, new_state = det.apply(
+        variables, imgs, refs, state, metas, method=det.predict_aug)
+    assert out["panoptic_outputs"].shape == (H, W)
+    assert out["fcn_outputs"].shape == (H, W)
+    assert np.isfinite(np.asarray(out["panoptic_cls_prob"])).all()
+    dv = np.asarray(out["det_valid"])
+    boxes = np.asarray(out["det_bboxes"])[dv]
+    if boxes.size:
+        # merged dets live in the canonical frame
+        assert boxes[:, 0].min() >= 0 and boxes[:, 2].max() <= W - 1
+        assert boxes[:, 1].min() >= 0 and boxes[:, 3].max() <= H - 1

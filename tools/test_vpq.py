@@ -40,6 +40,10 @@ def parse_args():
                         "merged with the reference aug-test semantics "
                         "(test_mixins.py merge_aug_*); forces the per-frame "
                         "host loop")
+    p.add_argument("--aug-scales", default=None,
+                   help="comma-separated extra TTA scales as WxH (e.g. "
+                        "'1024x512'); the config's test scale is always "
+                        "variant 0. Implies --aug")
     p.add_argument("--streams", type=int, default=0,
                    help="parallel video streams round-robined over local "
                         "devices (0 = one per local device; videos are "
@@ -127,15 +131,32 @@ def main():
             fps = done / (time.time() - t0)
             print(f"[{done}/{len(dataset)}] {fps:.2f} fps", file=sys.stderr)
 
-    if args.aug:
-        # TTA path: flip variants enumerated by the data pipeline's
-        # MultiScaleFlipAug (reference datasets/pipelines/test_aug.py) and
-        # merged on-device by detector.predict_aug (the reference's
-        # aug-test merge, test_mixins.py:43-110). Variant 0 = the plain
-        # test-pipeline output; flip variants at the test scale share its
-        # padded canvas, so the enumerator's flip IS the canvas flip
-        # predict_aug inverts.
+    if args.aug or args.aug_scales:
+        # TTA path: (scale × flip) variants enumerated by the data
+        # pipeline's MultiScaleFlipAug (reference
+        # datasets/pipelines/test_aug.py) and merged on-device by
+        # detector.predict_aug (the reference's aug-test merge,
+        # test_mixins.py:43-110). Variant 0 = the plain test-pipeline
+        # output; every variant's content sits at the top-left of ONE
+        # shared canvas (smaller scales zero-padded up to it).
         aug_metas = None
+        tta_scales = None
+        if args.aug_scales:
+            base = tuple(dataset.pipeline.img_scale)
+            extra = [tuple(int(x) for x in s.split("x"))
+                     for s in args.aug_scales.split(",")]
+            tta_scales = [base] + extra
+
+        def pack(variants):
+            hc = max(v["img"].shape[0] for v in variants)
+            wc = max(v["img"].shape[1] for v in variants)
+            out_i = np.zeros((len(variants), 1, hc, wc, 3), np.float32)
+            out_r = np.zeros_like(out_i)
+            for i, v in enumerate(variants):
+                hh, ww = v["img"].shape[:2]
+                out_i[i, 0, :hh, :ww] = v["img"]
+                out_r[i, 0, :hh, :ww] = v["ref_img"]
+            return out_i, out_r
 
         @jax.jit
         def step_aug(variables, imgs, ref_imgs, tstate):
@@ -147,7 +168,8 @@ def main():
 
         tstate = state0
         for idx in range(len(dataset)):
-            variants, meta = dataset.prepare_test_aug(idx, flip=True)
+            variants, meta = dataset.prepare_test_aug(
+                idx, flip=True, scales=tta_scales)
             metas_i = tuple(
                 dict(flip=v["flip"],
                      scale_ratio=v["scale_factor"]
@@ -165,8 +187,7 @@ def main():
                 )
             if meta["is_first"]:
                 tstate = empty_track_state(cap=args.track_cap)
-            imgs = np.stack([v["img"] for v in variants])[:, None]
-            ref_imgs = np.stack([v["ref_img"] for v in variants])[:, None]
+            imgs, ref_imgs = pack(variants)
             outputs, tstate = step_aug(
                 variables, jnp.asarray(imgs), jnp.asarray(ref_imgs), tstate
             )

@@ -254,8 +254,17 @@ class MultiScaleFlipAug:
             for flip in self.flip_variants:
                 v_img, v_ref = base_img, base_ref
                 if flip:
-                    v_img = v_img[:, ::-1].copy()
-                    v_ref = v_ref[:, ::-1].copy()
+                    # flip WITHIN the valid content region [0, w), matching
+                    # the reference's resize→flip→pad order (flip.py acts on
+                    # the resized image, Pad runs after): content stays at
+                    # the top-left corner so predict_aug's box mapping can
+                    # use the reference bbox_mapping convention (flip over
+                    # the variant img_shape, transforms.py:91-103).
+                    hv, wv = shape
+                    v_img = base_img.copy()
+                    v_ref = base_ref.copy()
+                    v_img[:hv, :wv] = base_img[:hv, :wv][:, ::-1]
+                    v_ref[:hv, :wv] = base_ref[:hv, :wv][:, ::-1]
                 outs.append(dict(
                     img=v_img, ref_img=v_ref,
                     img_shape_withoutpad=shape,

@@ -715,18 +715,22 @@ class PanopticFuseTrack(nn.Module):
             x_v, _, _ = self._fused_feats(imgs[v], ref_imgs[v])
             feats.append(x_v)
 
-            # merge_aug_semantic_segms: unflip, resize the valid region to
-            # the canonical frame, mean of logits
+            # merge_aug_semantic_segms: unflip the valid content region,
+            # resize it to the canonical frame, mean of logits. Content
+            # always occupies the top-left [0,hv)×[0,wv) of the canvas and
+            # flips happen WITHIN it (MultiScaleFlipAug), the reference's
+            # resize→flip→pad order.
             fcn_v, _ = self.panoptic_m(list(x_v[: self.panoptic_m.num_levels]))
             fcn_v = fcn_v[0]
-            if flip:
-                # the pipeline flips the padded canvas, so one full-canvas
-                # unflip restores content to [0, wv) exactly
-                fcn_v = fcn_v[:, ::-1, :]
-            if (hv, wv) != (h0, w0):
-                fcn_v = resize_bilinear(fcn_v[None, :hv, :wv, :], (h0, w0))[0]
-                pad_h, pad_w = h - h0, w - w0
-                fcn_v = jnp.pad(fcn_v, ((0, pad_h), (0, pad_w), (0, 0)))
+            if flip or (hv, wv) != (h, w):
+                fcn_v = fcn_v[:hv, :wv, :]
+                if flip:
+                    fcn_v = fcn_v[:, ::-1, :]
+                if (hv, wv) != (h0, w0):
+                    fcn_v = resize_bilinear(fcn_v[None], (h0, w0))[0]
+                fcn_v = jnp.pad(fcn_v, (
+                    (0, h - fcn_v.shape[0]), (0, w - fcn_v.shape[1]), (0, 0)
+                ))
             fcn_sum = fcn_v if fcn_sum is None else fcn_sum + fcn_v
 
             # aug_test_rpn: per-variant proposals mapped back to canonical
@@ -740,7 +744,9 @@ class PanopticFuseTrack(nn.Module):
                 nms_thr=rcfg.get("nms_thr", 0.7),
                 max_num=max_num,
             )
-            props = self._map_boxes_back(props, flip, ratio, (h, w))
+            # bbox_mapping_back convention: unflip over the VARIANT's
+            # img_shape (core/bbox/transforms.py:99-103), then ÷ratio
+            props = self._map_boxes_back(props, flip, ratio, (hv, wv))
             all_props.append(props)
             all_scores.append(scores)
             all_valid.append(pvalid)
@@ -770,11 +776,11 @@ class PanopticFuseTrack(nn.Module):
             flip = bool(meta.get("flip", False))
             ratio = float(meta.get("scale_ratio", 1.0))
             hv, wv = meta.get("img_shape", (h, w))
-            props_v = self._map_boxes_into(proposals, flip, ratio, (h, w))
+            props_v = self._map_boxes_into(proposals, flip, ratio, (hv, wv))
             roi_feats = self._roi_feats(feats[v], props_v, 7, valid=prop_valid)
             cls_score, bbox_pred = self.bbox_head_m(roi_feats)
             boxes_v = delta2bbox_upsnet(props_v, bbox_pred, reg_w, (hv, wv))
-            boxes_v = self._map_boxes_back(boxes_v, flip, ratio, (h, w))
+            boxes_v = self._map_boxes_back(boxes_v, flip, ratio, (hv, wv))
             probs_v = jax.nn.softmax(cls_score, axis=-1)
             boxes_sum = boxes_v if boxes_sum is None else boxes_sum + boxes_v
             probs_sum = probs_v if probs_sum is None else probs_sum + probs_v
@@ -831,7 +837,8 @@ class PanopticFuseTrack(nn.Module):
             meta = aug_metas[v]
             flip = bool(meta.get("flip", False))
             ratio = float(meta.get("scale_ratio", 1.0))
-            boxes_v = self._map_boxes_into(det_boxes, flip, ratio, (h, w))
+            hv, wv = meta.get("img_shape", (h, w))
+            boxes_v = self._map_boxes_into(det_boxes, flip, ratio, (hv, wv))
             mask_feats = self._roi_feats(feats[v], boxes_v, 14, valid=det_valid)
             mask_score = self.mask_head_m(mask_feats)
             mask_score = jnp.take_along_axis(
