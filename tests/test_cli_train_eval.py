@@ -120,6 +120,22 @@ def test_train_then_test_vpq_cli(tmp_path):
     for pano in aug_results["all_panos"]:
         assert pano.shape == (H, W)
 
+    # --aug-scales: TWO scales x flip = 4 variants on one canvas (the
+    # multi-scale TTA path: scale_ratio box mapping + content-region flips)
+    out_pkl = str(tmp_path / "out_aug_ms.pkl")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "test_vpq.py"),
+         cfg_path, "--checkpoint", ckpt, "--out", out_pkl, "--aug",
+         "--aug-scales", f"{W // 2}x{H // 2}"],
+        env=env, capture_output=True, text=True, timeout=2700,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    with open(out_pkl.replace(".pkl", "_pano.pkl"), "rb") as f:
+        ms_results = pickle.load(f)
+    assert len(ms_results["all_names"]) == 4
+    for pano in ms_results["all_panos"]:
+        assert pano.shape == (H, W)
+
     r1, r2 = results_by_chunk[1], results_by_chunk[2]
     assert r1["all_names"] == r2["all_names"]
     # The per-frame loop and the lax.scan path are the same math compiled as

@@ -65,14 +65,38 @@ def main():
     )
     dataset = build_dataset(cfg.data["train"])
     batch = args.batch_size or jax.local_device_count()
+    # reference semantics (build_loader.py:17-48): workers_per_gpu × #gpus
+    # loader workers; here #local devices plays the gpu count.
+    workers = cfg.data.get("workers_per_gpu", 2) * max(
+        jax.local_device_count(), 1)
     loader = build_loader(
         dataset, batch, seed=seed,
         num_hosts=jax.process_count(), host_id=jax.process_index(),
+        num_workers=workers,
     )
     logger.info(
         f"devices={jax.device_count()} hosts={jax.process_count()} "
         f"batch/host={batch} steps/epoch={loader.steps_per_epoch()}"
     )
+
+    # train-time validation (the reference's DistEvalHook,
+    # eval_hooks.py:18-74): videos sharded across hosts, streams across
+    # local devices, file-exchange gather on host 0.
+    eval_fn = None
+    eval_interval = 1
+    ev = cfg.get("evaluation")
+    if ev and cfg.data.get("val"):
+        from vps_tpu.train.eval_hook import make_video_eval_hook
+
+        val_cfg = dict(cfg.data["val"])
+        val_cfg.setdefault("test_mode", True)
+        val_dataset = build_dataset(val_cfg)
+        eval_fn = make_video_eval_hook(
+            detector, val_dataset, work_dir,
+            chunk=ev.get("chunk", 4),
+            track_cap=ev.get("track_cap", 256),
+        )
+        eval_interval = ev.get("interval", 1)
 
     runner = Runner(
         detector, loader, cfg, work_dir,
@@ -80,6 +104,8 @@ def main():
         log_interval=cfg.get("log_config", {}).get("interval", 10),
         ckpt_interval=cfg.get("checkpoint_config", {}).get("interval", 4),
         seed=seed,
+        eval_fn=eval_fn,
+        eval_interval=eval_interval,
     )
     runner.run(
         load_from=args.load_from or cfg.get("load_from"),

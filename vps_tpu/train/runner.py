@@ -41,7 +41,9 @@ class Runner:
         self.seed = seed
         # post-epoch validation hook (the reference's DistEvalHook family,
         # core/evaluation/eval_hooks.py:18-74): eval_fn(state, epoch) -> dict
-        # of metrics, invoked every eval_interval epochs on process 0.
+        # of metrics, invoked every eval_interval epochs on EVERY host
+        # (rank-sharded; see train/eval_hook.py — host 0 merges and returns
+        # the metrics, other hosts return {}).
         self.eval_fn = eval_fn
         self.eval_interval = eval_interval
         self.logger = get_root_logger()
@@ -154,10 +156,12 @@ class Runner:
             if (
                 self.eval_fn is not None
                 and (epoch + 1) % self.eval_interval == 0
-                and jax.process_index() == 0
             ):
+                # every host participates (rank-sharded validation, like the
+                # reference's DistEvalHook); non-0 hosts return {} after
+                # dropping their shard into the file-exchange barrier
                 metrics = self.eval_fn(state, epoch + 1)
-                if metrics:
+                if metrics and jax.process_index() == 0:
                     msg = ", ".join(
                         f"{k}: {v:.4f}" for k, v in sorted(metrics.items())
                     )
