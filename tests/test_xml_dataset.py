@@ -80,3 +80,40 @@ def test_voc_prepare_train_and_test(tmp_path):
                       pipeline=dict(img_scale=(96, 64)))
     img, ref, meta = ds_t.prepare_test(1)
     assert img.shape == ref.shape and meta["is_first"]
+
+
+def test_pascal_voc_converter(tmp_path):
+    """tools/convert_datasets/pascal_voc.py middle-format converter agrees
+    with XMLDataset's own xml parsing (reference pascal_voc.py:13-64)."""
+    import json
+    import subprocess
+    import sys
+
+    split, prefix = _write_voc(str(tmp_path))
+    # lay the split file where the devkit layout expects it
+    main_dir = os.path.join(prefix, "ImageSets", "Main")
+    os.makedirs(main_dir)
+    for name in ("train", "val", "trainval", "test"):
+        with open(os.path.join(main_dir, name + ".txt"), "w") as f:
+            with open(split) as s:
+                f.write(s.read())
+    out = os.path.join(str(tmp_path), "out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable, "tools/convert_datasets/pascal_voc.py",
+         str(tmp_path), "-o", out],
+        check=True, cwd=os.path.dirname(os.path.dirname(__file__)), env=env)
+    recs = json.load(open(os.path.join(out, "voc07_trainval.json")))
+    assert len(recs) == 3
+    ds = VOCDataset(ann_file=split, img_prefix=prefix,
+                    pipeline=dict(img_scale=(96, 64), crop_size=(64, 96)))
+    for i, rec in enumerate(recs):
+        assert rec["filename"] == f"VOC2007/JPEGImages/{i:06d}.jpg"
+        assert (rec["width"], rec["height"]) == (96, 64)
+        ann = ds.get_ann_info(i)
+        # converter has no min_size filter: dataset ignore = difficult only
+        np.testing.assert_allclose(rec["ann"]["bboxes"][0], ann["bboxes"][0])
+        np.testing.assert_allclose(rec["ann"]["bboxes_ignore"],
+                                   [[49, 7, 69, 27]])
+        assert rec["ann"]["labels"] == [ds.cat2label["car"],
+                                        ds.cat2label["dog"]]
