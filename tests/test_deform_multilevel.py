@@ -44,6 +44,40 @@ def test_multilevel_matches_per_level_nearest():
         )
 
 
+def test_xpair_matches_plain_bilinear():
+    """x-paired corner gather (2 gathers/tap from the right-neighbour pair
+    table instead of 4 — PERF.md: flat per-index cost only while the paired
+    slice stays <= 512 B) must reproduce the plain 4-corner formulation to
+    f32 association noise, including OOB corners, modulation (v2), the
+    multilevel stream, and the input gradient."""
+    rng = np.random.RandomState(3)
+    xs, offs, weight = _levels(rng)
+    x, off = xs[0], offs[0] * 4.0  # big offsets -> plenty of OOB corners
+    a = deform_conv2d(x, off, weight, xpair=False)
+    b = deform_conv2d(x, off, weight, xpair=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+    msk = jnp.asarray(rng.rand(*off.shape[:3], 9), jnp.float32)
+    a = deform_conv2d(x, off, weight, mask=msk, xpair=False)
+    b = deform_conv2d(x, off, weight, mask=msk, xpair=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+    ml0 = deform_conv2d_multilevel(xs, offs, weight, xpair=False)
+    ml1 = deform_conv2d_multilevel(xs, offs, weight, xpair=True)
+    for u, v in zip(ml0, ml1):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=1e-5, atol=1e-5)
+
+    import jax
+
+    g0 = jax.grad(lambda t: deform_conv2d(t, off, weight, xpair=False).sum())(x)
+    g1 = jax.grad(lambda t: deform_conv2d(t, off, weight, xpair=True).sum())(x)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_multilevel_bf16_path():
     rng = np.random.RandomState(2)
     xs, offs, weight = _levels(rng)

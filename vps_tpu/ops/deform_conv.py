@@ -25,6 +25,38 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# v5e gathers are INDEX-bound with a flat per-index cost for slices up to
+# ~512 B (PERF.md gather table). Pairing each pixel with its right neighbour
+# on the channel axis halves the bilinear corner gathers (4 -> 2 per tap)
+# at unchanged per-index cost — but only while the paired slice stays under
+# the 512 B cliff (beyond it the per-index cost jumps ~4x, which is exactly
+# why the round-2 256-ch pairing experiment lost: 23.6 -> 28.6 ms).
+#
+# Round-3 A/B at bench.py level (the only decision level, per PERF.md):
+# even scoped to the 128-ch bf16 semantic tower (paired slice exactly 512 B)
+# xpair measured 4.93 fps vs 5.02 off — the pair-table build (a full 2x HBM
+# copy of every level per conv) plus sitting ON the slice-width cliff eat
+# the halved index count. Default is therefore OFF; VPS_TPU_XPAIR=1 opts in
+# for future A/B on other geometries.
+_XPAIR_MAX_SLICE_BYTES = 512
+
+
+def _xpair_profitable(cin: int, dtype) -> bool:
+    import os
+
+    if os.environ.get("VPS_TPU_XPAIR", "0") != "1":  # opt-in: rejected by A/B
+        return False
+    return 2 * cin * jnp.dtype(dtype).itemsize <= _XPAIR_MAX_SLICE_BYTES
+
+
+def _xpair_table(x):
+    """(B, H, W, C) -> (B, H, W+1, 2C) pair table over x0 in [-1, W-1]:
+    table[:, :, x0 + 1] = [X[x0] (zero at x0 = -1), X[x0 + 1] (clamped at
+    the right edge — that corner's weight is zeroed by the caller)]."""
+    left = jnp.pad(x, ((0, 0), (0, 0), (1, 0), (0, 0)))
+    right = jnp.concatenate([x, x[:, :, -1:]], axis=2)
+    return jnp.concatenate([left, right], axis=-1)
+
 
 def deform_conv2d(
     x,
@@ -36,6 +68,7 @@ def deform_conv2d(
     dilation: int = 1,
     mask=None,
     sampling: str = "bilinear",
+    xpair: bool | None = None,
 ):
     """x: (B, H, W, Cin); offset: (B, Ho, Wo, 2K); weight: (kh, kw, Cin, Cout);
     mask (modulation, v2): (B, Ho, Wo, K) or None. Returns (B, Ho, Wo, Cout).
@@ -44,6 +77,12 @@ def deform_conv2d(
     ONE gather per tap instead of four. A documented approximation for
     inference-speed presets (TPU gathers are index-bound, see PERF.md);
     "bilinear" is the reference's exact semantics.
+
+    xpair: gather both x-corners of a bilinear sample in ONE gather from a
+    right-neighbour pair table (2 gathers/tap instead of 4, identical math
+    up to f32 addition order). None = auto: OFF unless VPS_TPU_XPAIR=1 —
+    rejected at bench level (see _xpair_profitable / PERF.md), kept as a
+    measured formulation for future A/B on other geometries.
     """
     b, h, w, cin = x.shape
     kh, kw, wcin, cout = weight.shape
@@ -62,7 +101,14 @@ def deform_conv2d(
     # but a net 4% FPS regression composed into the full FuseTrack frame:
     # the 9 materialized tap maps blow the working set. Gathers here are
     # index-bound on v5e (~0.6 ms / 131k indices), not byte-bound.)
-    flat = x.reshape(b, h * w, cin)
+    use_xpair = (
+        sampling == "bilinear"
+        and (xpair if xpair is not None else _xpair_profitable(cin, x.dtype))
+    )
+    if use_xpair:
+        pair = _xpair_table(x).reshape(b, h * (w + 1), 2 * cin)
+    else:
+        flat = x.reshape(b, h * w, cin)
     # grids in f32 ALWAYS: a bf16 grid quantizes integer positions > 256
     # (8 mantissa bits), shifting sample points by up to 2 px on wide maps
     ys_grid = jnp.arange(ho, dtype=jnp.float32)[None, :, None] * stride - padding
@@ -77,6 +123,34 @@ def deform_conv2d(
         x0 = jnp.floor(xs)
         wy = ys - y0
         wx = xs - x0
+        if use_xpair:
+            # one gather per y-corner fetches BOTH x-corners (2C slice)
+            inb_l = (x0 >= 0) & (x0 <= w - 1)
+            inb_r = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+            ix = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
+            acc = 0.0
+            for yy, wgt_y in ((y0, 1 - wy), (y0 + 1, wy)):
+                inb_y = (yy >= 0) & (yy <= h - 1)
+                idx = (
+                    jnp.clip(yy, 0, h - 1).astype(jnp.int32) * (w + 1) + ix
+                ).reshape(b, -1)
+                g = jnp.take_along_axis(pair, idx[..., None], axis=1).reshape(
+                    b, ho, wo, 2 * cin
+                )
+                wl = wgt_y * (1 - wx) * (inb_y & inb_l)
+                wr = wgt_y * wx * (inb_y & inb_r)
+                acc = acc + (
+                    g[..., :cin] * wl[..., None] + g[..., cin:] * wr[..., None]
+                )
+            if mask is not None:
+                acc = acc * mask[..., ki, None]
+            out = out + jnp.einsum(
+                "bhwi,io->bhwo",
+                acc.astype(x.dtype),
+                weight[ki // kw, ki % kw],
+                preferred_element_type=jnp.float32,
+            )
+            continue
         if sampling == "nearest":
             corners = ((jnp.round(ys), jnp.round(xs), jnp.ones_like(wy)),)
         else:
@@ -164,6 +238,7 @@ def deform_conv2d_multilevel(
     weight,
     padding: int = 1,
     sampling: str = "bilinear",
+    xpair: bool | None = None,
 ):
     """Shared-weight deformable conv over MULTIPLE feature levels with ONE
     gather stream (the UPSNet semantic head's shared tower, upsnetFPN.py:24-36
@@ -191,8 +266,27 @@ def deform_conv2d_multilevel(
     for s in sizes:
         bases.append(base)
         base += s
-    flat = jnp.concatenate([x.reshape(b, s, cin) for x, s in zip(xs, sizes)],
-                           axis=1)
+    use_xpair = (
+        sampling == "bilinear"
+        and (xpair if xpair is not None
+             else _xpair_profitable(cin, xs[0].dtype))
+    )
+    if use_xpair:
+        # pair table per level (row stride w+1), concatenated like `flat`
+        psizes = [h * (w + 1) for h, w in shapes]
+        pbases = []
+        pb = 0
+        for s in psizes:
+            pbases.append(pb)
+            pb += s
+        pair = jnp.concatenate(
+            [_xpair_table(x).reshape(b, s, 2 * cin)
+             for x, s in zip(xs, psizes)],
+            axis=1,
+        )
+    else:
+        flat = jnp.concatenate(
+            [x.reshape(b, s, cin) for x, s in zip(xs, sizes)], axis=1)
     offs = [o.reshape(b, *hw, k, 2) for o, hw in zip(offsets, shapes)]
 
     grids = []
@@ -205,6 +299,52 @@ def deform_conv2d_multilevel(
     for ki in range(k):
         dy = ki // kw
         dx = ki % kw
+        if use_xpair:
+            # one gather per y-corner fetches BOTH x-corners (2C slice):
+            # 2K gathers/stage on the concatenated level stream vs 4K
+            per_y_idx = [[], []]
+            per_y_wl = [[], []]
+            per_y_wr = [[], []]
+            for (h, w), (ys_g, xs_g), off_l, pbase_l in zip(
+                shapes, grids, offs, pbases
+            ):
+                ys = ys_g + dy + off_l[..., ki, 0]
+                xq = xs_g + dx + off_l[..., ki, 1]
+                y0 = jnp.floor(ys)
+                x0 = jnp.floor(xq)
+                wy = ys - y0
+                wx = xq - x0
+                inb_l = (x0 >= 0) & (x0 <= w - 1)
+                inb_r = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+                ix = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
+                for ci, (yy, wgt_y) in enumerate(((y0, 1 - wy), (y0 + 1, wy))):
+                    inb_y = (yy >= 0) & (yy <= h - 1)
+                    idx = (
+                        jnp.clip(yy, 0, h - 1).astype(jnp.int32) * (w + 1)
+                        + ix + pbase_l
+                    ).reshape(b, -1)
+                    per_y_idx[ci].append(idx)
+                    per_y_wl[ci].append(
+                        (wgt_y * (1 - wx) * (inb_y & inb_l)).reshape(b, -1))
+                    per_y_wr[ci].append(
+                        (wgt_y * wx * (inb_y & inb_r)).reshape(b, -1))
+            acc = 0.0
+            for ci in range(2):
+                idx = jnp.concatenate(per_y_idx[ci], axis=1)
+                wl = jnp.concatenate(per_y_wl[ci], axis=1)
+                wr = jnp.concatenate(per_y_wr[ci], axis=1)
+                vals = jnp.take_along_axis(pair, idx[..., None], axis=1)
+                acc = acc + (
+                    vals[..., :cin] * wl[..., None]
+                    + vals[..., cin:] * wr[..., None]
+                )
+            out = out + jnp.einsum(
+                "bni,io->bno",
+                acc.astype(xs[0].dtype),
+                weight[dy, dx],
+                preferred_element_type=jnp.float32,
+            )
+            continue
         idx_parts, wgt_parts = [], []
         n_corners = 1 if sampling == "nearest" else 4
         per_corner_idx = [[] for _ in range(n_corners)]
