@@ -5,7 +5,9 @@ import pytest
 
 from vps_tpu.models.detectors import PanopticFuseTrack
 from vps_tpu.train import build_lr_schedule, build_optimizer, make_train_step
-from vps_tpu.train.step import TrainState, make_mesh, shard_batch, replicate
+from vps_tpu.train.step import (
+    TrainState, make_loss_fn, make_mesh, shard_batch, replicate,
+)
 from vps_tpu import zoo
 
 H, W, MAX_GT = 64, 128, 4
@@ -41,6 +43,198 @@ def _sample(rng):
         ref_bboxes=gt_bboxes,
         ref_valid=gt_valid,
     )
+
+
+class _SmoothStubDetector:
+    """Selection-free stand-in with the full detector ``loss`` signature:
+    a smooth loss that mixes EVERY batch field and the per-sample sampler
+    key, so mesh-vs-single grad equality checks the whole DDP machinery
+    (shard_batch array pairing, per-sample rng split alignment, psum-mean)
+    without the discrete proposal top-k/NMS stage (see the statistical test
+    below for why that stage cannot be compared at 1e-5)."""
+
+    def __init__(self):
+        import flax.linen as nn
+
+        class M(nn.Module):
+            @nn.compact
+            def loss(self, img, ref_img, gt_bboxes, gt_labels, gt_valid,
+                     gt_masks, gt_semantic_seg, gt_semantic_seg_Nx, gt_pids,
+                     ref_bboxes, ref_valid):
+                feat = nn.Conv(8, (3, 3), name="conv")(img)
+                ref_feat = nn.Conv(8, (3, 3), name="conv_ref")(ref_img)
+                noise = jax.random.normal(
+                    self.make_rng("sampler"), feat.shape, feat.dtype)
+                sem = gt_semantic_seg.astype(jnp.float32)
+                semx = gt_semantic_seg_Nx.astype(jnp.float32)
+                box_w = (gt_bboxes * gt_valid[:, None]).sum() / 100.0
+                ref_w = (ref_bboxes * ref_valid[:, None]).sum() / 100.0
+                lab_w = (gt_labels + gt_pids).sum().astype(jnp.float32)
+                return {
+                    "loss_img": jnp.mean((feat + 0.1 * noise) ** 2),
+                    "loss_ref": jnp.mean(ref_feat**2) * (1.0 + 1e-3 * ref_w),
+                    # every GT field scales a param-dependent term so a
+                    # shard/replicate mispairing shows up in the GRADIENT
+                    "loss_mask": jnp.mean(feat**2)
+                    * box_w
+                    * (1.0 + jnp.mean(gt_masks)),
+                    "loss_sem": jnp.mean(ref_feat) * 1e-2
+                    * (jnp.mean(sem) + jnp.mean(semx) + 1e-3 * lab_w),
+                    "acc": lab_w,
+                }
+
+            def __call__(self, *a, **kw):  # pragma: no cover - init entry
+                return self.loss(*a, **kw)
+
+        self._m = M()
+
+    def init(self, rngs, **kw):
+        kw.pop("method", None)
+        return self._m.init(rngs, method=self._m.loss, **kw)
+
+    def apply(self, variables, *, method=None, rngs=None, **kw):
+        return self._m.apply(
+            {"params": variables["params"]}, method=self._m.loss,
+            rngs=rngs, **kw)
+
+    @property
+    def loss(self):
+        return self._m.loss
+
+
+def _init_loss_inputs(det, batch_np):
+    init_rngs = {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)}
+    s0 = {k: jnp.asarray(v[0]) for k, v in batch_np.items()}
+    variables = det.init(
+        init_rngs,
+        img=s0["img"][None],
+        ref_img=s0["ref_img"][None],
+        gt_bboxes=s0["gt_bboxes"],
+        gt_labels=s0["gt_labels"],
+        gt_valid=s0["gt_valid"],
+        gt_masks=s0["gt_masks"],
+        gt_semantic_seg=s0["gt_semantic_seg"][None],
+        gt_semantic_seg_Nx=s0["gt_semantic_seg_Nx"][None],
+        gt_pids=s0["gt_pids"],
+        ref_bboxes=s0["ref_bboxes"],
+        ref_valid=s0["ref_valid"],
+        method=det.loss,
+    )
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def test_grad_equivalence_ddp_machinery():
+    """The 8-device data-parallel gradient (batch sharded over the mesh's
+    ``data`` axis, XLA-inserted all-reduce — the DDP replacement for the
+    reference's NCCL allreduce, core/utils/dist_utils.py:44-58) must equal
+    the single-device full-batch gradient to float-accumulation noise.
+
+    Uses a smooth selection-free stub with the detector's exact ``loss``
+    signature: every batch array and the per-sample rng key contribute to
+    the loss, so a shard/replicate mispairing or a key-split misalignment
+    would show up as a large grad difference."""
+    assert len(jax.devices()) == 8
+    det = _SmoothStubDetector()
+    rng = np.random.RandomState(1)
+    batch_np = jax.tree.map(
+        lambda *xs: np.stack(xs), *[_sample(rng) for _ in range(8)]
+    )
+    params, batch_stats = _init_loss_inputs(det, batch_np)
+
+    loss_fn = make_loss_fn(det)
+    grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True))
+    key = jax.random.PRNGKey(7)
+
+    d0 = jax.devices()[0]
+    g_single, lv_s = grad_fn(
+        jax.device_put(params, d0),
+        jax.device_put(batch_stats, d0),
+        jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), d0), batch_np),
+        key,
+    )
+
+    mesh = make_mesh(8)
+    g_mesh, lv_m = grad_fn(
+        replicate(params, mesh),
+        replicate(batch_stats, mesh),
+        shard_batch({k: jnp.asarray(v) for k, v in batch_np.items()}, mesh),
+        key,
+    )
+
+    np.testing.assert_allclose(
+        float(lv_s["loss"]), float(lv_m["loss"]), rtol=1e-6)
+    flat_s, tree_s = jax.tree.flatten(g_single)
+    flat_m, tree_m = jax.tree.flatten(g_mesh)
+    assert tree_s == tree_m
+    paths = [
+        "/".join(str(p) for p in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(g_single)[0]
+    ]
+    for name, a, b in zip(paths, flat_s, flat_m):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(
+            a / scale, b / scale, atol=1e-5, rtol=0, err_msg=name)
+
+
+@pytest.mark.slow
+def test_loss_equivalence_full_detector_statistical():
+    """Full FuseTrack, mesh-sharded vs single-device, SAME jitted loss_fn.
+
+    The two layouts compile per-sample compute with different fusion and
+    reduction orders; with randomly-initialized weights the resulting
+    ulp-level RPN-score differences flip proposal top-k/NMS near-ties, so
+    the post-selection terms (cls/bbox/mask) differ DISCRETELY — measured
+    here (diagnosis, round 3): rpn_cls agrees to 3e-6 while loss_mask moved
+    4%. That is a property of any DDP system with compiled per-rank kernels
+    (the reference's CUDA DDP is additionally nondeterministic run-to-run);
+    the honest contract is: selection-free terms agree to accumulation
+    noise, totals agree statistically, and each layout is deterministic.
+    The exact psum-mean machinery is verified at 1e-5 by
+    test_grad_equivalence_ddp_machinery above."""
+    assert len(jax.devices()) == 8
+    det = _tiny_detector()
+    rng = np.random.RandomState(1)
+    batch_np = jax.tree.map(
+        lambda *xs: np.stack(xs), *[_sample(rng) for _ in range(8)]
+    )
+    params, batch_stats = _init_loss_inputs(det, batch_np)
+
+    val_fn = jax.jit(make_loss_fn(det))
+    key = jax.random.PRNGKey(7)
+
+    d0 = jax.devices()[0]
+    args_single = (
+        jax.device_put(params, d0),
+        jax.device_put(batch_stats, d0),
+        jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), d0), batch_np),
+        key,
+    )
+    mesh = make_mesh(8)
+    args_mesh = (
+        replicate(params, mesh),
+        replicate(batch_stats, mesh),
+        shard_batch({k: jnp.asarray(v) for k, v in batch_np.items()}, mesh),
+        key,
+    )
+    t_s, lv_s = val_fn(*args_single)
+    t_m, lv_m = val_fn(*args_mesh)
+
+    # pre-selection (dense, selection-free) terms: accumulation noise only
+    np.testing.assert_allclose(
+        float(lv_s["loss_rpn_cls"]), float(lv_m["loss_rpn_cls"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(lv_s["loss_segm"]), float(lv_m["loss_segm"]), rtol=1e-3)
+    np.testing.assert_allclose(
+        float(lv_s["loss_pano"]), float(lv_m["loss_pano"]), rtol=1e-3)
+    # post-selection terms: bounded statistical agreement
+    np.testing.assert_allclose(float(t_s), float(t_m), rtol=0.05)
+
+    # each layout is bitwise deterministic (unlike CUDA-atomics DDP)
+    t_m2, _ = val_fn(*args_mesh)
+    assert float(t_m) == float(t_m2)
+    t_s2, _ = val_fn(*args_single)
+    assert float(t_s) == float(t_s2)
 
 
 @pytest.mark.slow

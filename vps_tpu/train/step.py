@@ -31,17 +31,11 @@ def parse_losses(losses: Dict[str, jnp.ndarray]):
     return total, log_vars
 
 
-def make_train_step(
-    detector,
-    tx: optax.GradientTransformation,
-    donate: bool = True,
-):
-    """Returns train_step(state, batch, rng) -> (state, log_vars).
-
-    ``batch`` arrays carry a leading device-batch dim B; the detector's
-    single-image ``loss`` is vmapped over it and averaged — under jit with
-    the batch sharded on the ``data`` axis this is DDP.
-    """
+def make_loss_fn(detector) -> Callable:
+    """loss_fn(params, batch_stats, batch, rng) -> (total, log_vars) over a
+    leading device-batch dim B (vmapped single-image losses, global mean).
+    Exposed separately from :func:`make_train_step` so tests can assert the
+    sharded-mesh gradient equals the single-device full-batch gradient."""
 
     def loss_fn(params, batch_stats, batch, rng):
         def single(sample, key):
@@ -70,6 +64,23 @@ def make_train_step(
         losses = jax.tree.map(lambda x: jnp.mean(x), losses)
         total, log_vars = parse_losses(losses)
         return total, log_vars
+
+    return loss_fn
+
+
+def make_train_step(
+    detector,
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Returns train_step(state, batch, rng) -> (state, log_vars).
+
+    ``batch`` arrays carry a leading device-batch dim B; the detector's
+    single-image ``loss`` is vmapped over it and averaged — under jit with
+    the batch sharded on the ``data`` axis this is DDP.
+    """
+
+    loss_fn = make_loss_fn(detector)
 
     def train_step(state: TrainState, batch, rng):
         (total, log_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
