@@ -35,6 +35,44 @@ class _FakeLoader:
             yield self.batch
 
 
+def test_wrong_model_checkpoint_refuses_to_load(tmp_path):
+    """Lenient top-level restore (train ckpt -> inference template) must NOT
+    extend to silently loading a checkpoint from a DIFFERENT model: a
+    structure or leaf-shape mismatch inside a requested subtree raises
+    (reference: strict=False still surfaces incompatible shapes via
+    load_state_dict warnings; here it is a hard error)."""
+    from vps_tpu.utils.checkpoint import save_checkpoint
+
+    params = {"backbone": {"w": np.ones((3, 3), np.float32)},
+              "head": {"b": np.zeros((4,), np.float32)}}
+    path = save_checkpoint(str(tmp_path), 1, params,
+                           opt_state={"mu": np.zeros((4,), np.float32)})
+
+    # same-structure template: exact restore
+    out = load_checkpoint(path, {"params": jax.tree.map(np.zeros_like, params)})
+    np.testing.assert_array_equal(out["params"]["backbone"]["w"],
+                                  params["backbone"]["w"])
+
+    # inference template (params only): lenient top-level subset works
+    out = load_checkpoint(path, {"params": jax.tree.map(np.zeros_like, params),
+                                 "batch_stats": {}})
+    assert out["batch_stats"] == {}
+
+    # different model structure: must raise, not merge
+    wrong_struct = {"params": {"backbone": {"w": np.zeros((3, 3), np.float32)},
+                               "other_head": {"x": np.zeros((4,), np.float32)}},
+                    "batch_stats": {}}
+    with pytest.raises(ValueError):
+        load_checkpoint(path, wrong_struct)
+
+    # same structure, wrong leaf shapes: must raise
+    wrong_shape = {"params": {"backbone": {"w": np.zeros((5, 5), np.float32)},
+                              "head": {"b": np.zeros((4,), np.float32)}},
+                   "batch_stats": {}}
+    with pytest.raises(ValueError):
+        load_checkpoint(path, wrong_shape)
+
+
 @pytest.mark.slow
 def test_runner_resume_continues_epochs(tmp_path):
     det = _tiny_detector()
