@@ -21,6 +21,10 @@ first device op retry with backoff on UNAVAILABLE; if the tunnel never comes
 up we emit a structured JSON line with "error": "infra_unavailable" and exit
 rc=2 so the driver can tell infra-down from code-broken (rc=1).
 
+The reported value is the MEDIAN of --windows (default 3) independently
+timed clip windows; per-window numbers and the spread go to stderr, so a
+single slow window (tunnel hiccup) cannot become the round artifact.
+
 Usage: python bench.py [--size HxW] [--iters N] [--warmup N] [--preset P]
 """
 
@@ -69,6 +73,11 @@ def main():
     ap.add_argument("--size", default="1024x2048")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--windows", type=int, default=3,
+                    help="independent timed windows; the reported fps is "
+                         "the MEDIAN across windows (per-window numbers on "
+                         "stderr) so one tunnel hiccup cannot land in the "
+                         "round artifact")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     ap.add_argument("--preset", default="half-flow",
                     choices=["exact", "half-flow", "fast"],
@@ -192,13 +201,25 @@ def main():
         )
     float(chk)
 
-    t0 = time.time()
-    chk, state, prev_feats, prev_img = run_clip(
-        variables, clip, state, prev_img, prev_feats
-    )
-    float(chk)  # single scalar host fetch = hard sync of the whole clip
-    dt = (time.time() - t0) / (args.iters * B)
-    fps = 1.0 / dt
+    # K independent timed windows; report the MEDIAN. A single window on a
+    # tunneled TPU bakes any one-off tunnel hiccup straight into the round
+    # artifact (round 3 shipped 4.17 fps vs a 5.0 steady state this way).
+    window_fps = []
+    for k in range(max(args.windows, 1)):
+        t0 = time.time()
+        chk, state, prev_feats, prev_img = run_clip(
+            variables, clip, state, prev_img, prev_feats
+        )
+        float(chk)  # single scalar host fetch = hard sync of the whole clip
+        dt = (time.time() - t0) / (args.iters * B)
+        window_fps.append(1.0 / dt)
+        print(f"window {k + 1}/{args.windows}: {window_fps[-1]:.3f} fps",
+              file=sys.stderr)
+    fps = float(np.median(window_fps))
+    spread = (max(window_fps) - min(window_fps)) / fps if fps else 0.0
+    print(f"median {fps:.3f} fps, spread {100 * spread:.1f}% "
+          f"(min {min(window_fps):.3f}, max {max(window_fps):.3f})",
+          file=sys.stderr)
 
     label = {"exact": "exact", "half-flow": "halfflow", "fast": "fast"}[
         args.preset]

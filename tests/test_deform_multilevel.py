@@ -90,3 +90,29 @@ def test_multilevel_bf16_path():
         np.testing.assert_allclose(
             np.asarray(o), np.asarray(r), rtol=0.05, atol=0.05
         )
+
+def test_xpair_grouped_plumbing_and_nearest_rejection():
+    """ADVICE r3: deform_conv2d_grouped must forward an explicit xpair to
+    every per-group call (not just the VPS_TPU_XPAIR env opt-in), and
+    xpair=True with sampling='nearest' must raise instead of being silently
+    ignored."""
+    import pytest
+    from vps_tpu.ops.deform_conv import deform_conv2d_grouped
+
+    rng = np.random.RandomState(5)
+    b, h, w, cin, cout, k, groups = 2, 8, 16, 8, 12, 3, 2
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+    off = jnp.asarray(rng.randn(b, h, w, groups * 2 * k * k) * 2, jnp.float32)
+    weight = jnp.asarray(rng.randn(k, k, cin, cout) * 0.1, jnp.float32)
+
+    a = deform_conv2d_grouped(x, off, weight, groups, xpair=False)
+    bq = deform_conv2d_grouped(x, off, weight, groups, xpair=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bq),
+                               rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="xpair"):
+        deform_conv2d(x, off[..., : 2 * k * k], weight,
+                      sampling="nearest", xpair=True)
+    with pytest.raises(ValueError, match="xpair"):
+        deform_conv2d_grouped(x, off, weight, groups,
+                              sampling="nearest", xpair=True)

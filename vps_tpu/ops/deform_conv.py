@@ -41,10 +41,15 @@ import jax.numpy as jnp
 _XPAIR_MAX_SLICE_BYTES = 512
 
 
-def _xpair_profitable(cin: int, dtype) -> bool:
-    import os
+# Snapshotted ONCE at import: the flag is read at TRACE time, so mutating
+# the env var after a function is jitted/cached would silently have no
+# effect anyway. Import-time snapshot makes that explicit — bench A/B runs
+# must set VPS_TPU_XPAIR in the child process env, never mid-process.
+_XPAIR_ENV_OPTIN = __import__("os").environ.get("VPS_TPU_XPAIR", "0") == "1"
 
-    if os.environ.get("VPS_TPU_XPAIR", "0") != "1":  # opt-in: rejected by A/B
+
+def _xpair_profitable(cin: int, dtype) -> bool:
+    if not _XPAIR_ENV_OPTIN:  # opt-in: rejected by A/B (see PERF.md)
         return False
     return 2 * cin * jnp.dtype(dtype).itemsize <= _XPAIR_MAX_SLICE_BYTES
 
@@ -84,6 +89,12 @@ def deform_conv2d(
     rejected at bench level (see _xpair_profitable / PERF.md), kept as a
     measured formulation for future A/B on other geometries.
     """
+    if xpair and sampling != "bilinear":
+        raise ValueError(
+            f"xpair=True requires sampling='bilinear' (got {sampling!r}): "
+            "the pair table halves bilinear corner gathers and has no "
+            "nearest-sampling meaning"
+        )
     b, h, w, cin = x.shape
     kh, kw, wcin, cout = weight.shape
     k = kh * kw
@@ -197,6 +208,7 @@ def deform_conv2d_grouped(
     dilation: int = 1,
     mask=None,
     sampling: str = "bilinear",
+    xpair: bool | None = None,
 ):
     """Deformable-GROUP conv (reference DeformConv/ModulatedDeformConv with
     deformable_groups=G, mmdet/ops/dcn/): input channels split into G
@@ -209,7 +221,7 @@ def deform_conv2d_grouped(
     if groups == 1:
         return deform_conv2d(
             x, offset, weight, bias=bias, stride=stride, padding=padding,
-            dilation=dilation, mask=mask, sampling=sampling,
+            dilation=dilation, mask=mask, sampling=sampling, xpair=xpair,
         )
     cin = x.shape[-1]
     kh, kw = weight.shape[:2]
@@ -224,7 +236,7 @@ def deform_conv2d_grouped(
             weight[:, :, g * gc:(g + 1) * gc, :],
             stride=stride, padding=padding, dilation=dilation,
             mask=None if mask is None else mask[..., g * k:(g + 1) * k],
-            sampling=sampling,
+            sampling=sampling, xpair=xpair,
         )
         out = o if out is None else out + o
     if bias is not None:
