@@ -59,8 +59,8 @@ def main():
     from vps_tpu.utils.platform import apply_env_platforms
     apply_env_platforms()
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from vps_tpu.utils.platform import configure_compile_cache
+    configure_compile_cache()
     import jax.numpy as jnp
 
     from vps_tpu.config import Config
