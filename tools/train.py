@@ -29,6 +29,14 @@ def parse_args():
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize() "
                         "(TPU pod / SLURM rendezvous from the environment)")
+    # explicit rendezvous (the reference dist_train.sh's
+    # torch.distributed.launch --nproc_per_node equivalent for local
+    # multi-process runs, e.g. CPU integration tests): all three must be
+    # given together and imply --distributed
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (explicit rendezvous)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
@@ -39,13 +47,21 @@ def main():
     from vps_tpu.utils.platform import apply_env_platforms
     apply_env_platforms()
 
-    if args.distributed:
+    if args.coordinator is not None:
+        # reference init_dist with explicit rendezvous (the local
+        # multi-process launch path of tools/dist_train.sh)
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    elif args.distributed:
         # reference init_dist (apis/env.py:13-50) equivalent: rendezvous is
         # discovered from the TPU runtime or SLURM_* env vars.
         jax.distributed.initialize()
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from vps_tpu.utils.platform import configure_compile_cache
+    configure_compile_cache()
 
     from vps_tpu.config import Config
     from vps_tpu.data import build_dataset, build_loader

@@ -24,6 +24,42 @@ import jax
 import numpy as np
 
 
+def file_exchange_gather(
+    work_dir: str,
+    epoch: int,
+    results: Dict,
+    host: int,
+    n_hosts: int,
+    barrier_timeout: float = 3600.0,
+    poll_interval: float = 1.0,
+) -> Dict:
+    """The reference's tmpdir result barrier (eval_hooks.py:32-41: per-rank
+    mmcv.dump → dist.barrier() → rank-0 load-and-merge), as a file exchange:
+    every host atomically publishes its results pickle; host 0 polls for all
+    peers (TimeoutError past ``barrier_timeout`` — a dead peer must not hang
+    training forever) and returns the merge. Non-zero hosts return {}."""
+    tmpdir = os.path.join(work_dir, ".eval_hook")
+    os.makedirs(tmpdir, exist_ok=True)
+    part = os.path.join(tmpdir, f"epoch{epoch}.host{host}.pkl")
+    with open(part + ".tmp", "wb") as f:
+        pickle.dump(results, f)
+    os.replace(part + ".tmp", part)  # atomic: file visible == complete
+
+    if host != 0:
+        return {}
+    merged = dict(results)
+    deadline = time.time() + barrier_timeout
+    for h in range(1, n_hosts):
+        p = os.path.join(tmpdir, f"epoch{epoch}.host{h}.pkl")
+        while not os.path.exists(p):
+            if time.time() > deadline:
+                raise TimeoutError(f"eval barrier: missing {p}")
+            time.sleep(poll_interval)
+        with open(p, "rb") as f:
+            merged.update(pickle.load(f))
+    return merged
+
+
 def make_video_eval_hook(
     detector,
     dataset,
@@ -75,25 +111,12 @@ def make_video_eval_hook(
         )
 
         # ---- file-exchange gather (the reference's tmpdir barrier) ----
-        tmpdir = os.path.join(work_dir, ".eval_hook")
-        os.makedirs(tmpdir, exist_ok=True)
-        part = os.path.join(tmpdir, f"epoch{epoch}.host{host}.pkl")
-        with open(part + ".tmp", "wb") as f:
-            pickle.dump(results, f)
-        os.replace(part + ".tmp", part)  # atomic: .done == file visible
-
+        merged = file_exchange_gather(
+            work_dir, epoch, results, host, n_hosts,
+            barrier_timeout=barrier_timeout,
+        )
         if host != 0:
             return {}
-        merged = dict(results)
-        deadline = time.time() + barrier_timeout
-        for h in range(1, n_hosts):
-            p = os.path.join(tmpdir, f"epoch{epoch}.host{h}.pkl")
-            while not os.path.exists(p):
-                if time.time() > deadline:
-                    raise TimeoutError(f"eval barrier: missing {p}")
-                time.sleep(1.0)
-            with open(p, "rb") as f:
-                merged.update(pickle.load(f))
 
         if evaluate is not None:
             return evaluate(merged, epoch)

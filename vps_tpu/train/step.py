@@ -102,11 +102,36 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place batch arrays with the leading dim sharded over the mesh."""
+    """Place batch arrays with the leading dim sharded over the mesh.
+
+    Single process: plain device_put. Multi-process (one process per host,
+    the reference's DDP layout): every host passes its LOCAL loader shard —
+    device_put would demand the identical GLOBAL value on every process, so
+    the per-host shards assemble into the global array via
+    make_array_from_process_local_data (host h's rows land on host h's
+    devices; no cross-host data movement)."""
     sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    import numpy as np
+
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        batch,
+    )
 
 
 def replicate(tree, mesh: Mesh):
+    """Replicate a (host-identical) tree over the mesh. Multi-process:
+    every host holds the full value, so local data == global data."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    import numpy as np
+
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), global_shape=np.shape(x)),
+        tree,
+    )
