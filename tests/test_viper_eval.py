@@ -140,6 +140,61 @@ def test_viper_size_thr_is_tube_area():
     assert s5[thing_cls].tp == 1
 
 
+def test_viper_evaluate_panoptic_from_files(tmp_path):
+    """File-level Viper.evaluate_panoptic plumbing (viper.py:171-363):
+    GT loaded from a panoptic json + color-PNG folder, predictions encoded
+    per video, pan/pan_2ch artifact folders + gt/pred json dumps written,
+    image-PQ (nf=1) and vpq tables produced."""
+    cv2 = pytest.importorskip("cv2")
+    from vps_tpu.eval.viper import evaluate_panoptic_from_files
+
+    cats = default_viper_categories()
+    n_video, nframes = 2, 4
+    videos_2ch = [
+        [_frame((10, 5 + 2 * t, 50, 45 + 2 * t), track_id=1 + v)
+         for t in range(nframes)]
+        for v in range(n_video)
+    ]
+    flat_2ch = [f for v in videos_2ch for f in v]
+
+    # GT side on disk: color PNGs via the same converter + panoptic json
+    gt_dir = str(tmp_path / "gt_viper_pans")
+    os.makedirs(gt_dir)
+    images, annotations = [], []
+    k = 0
+    for v2ch in videos_2ch:
+        pans, anns = encode_panoptic_video(v2ch, cats)
+        for pan, ann in zip(pans, anns):
+            name = f"{k // nframes:03d}_{k % nframes:05d}.jpg"
+            cv2.imwrite(os.path.join(gt_dir, name.replace(".jpg", ".png")),
+                        pan[..., ::-1])
+            images.append(dict(id=k, file_name=name, height=H, width=W))
+            annotations.append(dict(ann, image_id=k))
+            k += 1
+    gt_json_file = str(tmp_path / "gt.json")
+    with open(gt_json_file, "w") as f:
+        json.dump(dict(
+            images=images, annotations=annotations,
+            categories=list(cats.values()),
+        ), f)
+
+    out = str(tmp_path / "viper_out")
+    results = evaluate_panoptic_from_files(
+        flat_2ch, out, gt_json_file, gt_dir, n_video=n_video,
+        windows=(1, 4),
+    )
+    for nf in (1, 4):
+        assert abs(results[nf]["All"]["pq"] - 1.0) < 1e-6, results[nf]["All"]
+        assert os.path.exists(os.path.join(out, f"viper_vpq_nf{nf:02d}.txt"))
+    for sub in ("pan", "pan_2ch"):
+        files = os.listdir(os.path.join(out, sub))
+        assert len(files) == n_video * nframes, (sub, files)
+    assert os.path.exists(os.path.join(out, "gt.json"))
+    with open(os.path.join(out, "pred.json")) as f:
+        pred = json.load(f)
+    assert len(pred["annotations"]) == n_video * nframes
+
+
 def test_viper_dataset_classes_from_json(tmp_path):
     """ViperDataset derives CLASSES from the json's categories
     (viper.py:100-102) instead of the hardcoded Cityscapes list."""

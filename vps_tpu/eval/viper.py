@@ -20,6 +20,7 @@ panoptic json), num_stuff = 13 (viper.py:100-102).
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Dict, List, Sequence
 
@@ -95,6 +96,88 @@ def viper_vpq_compute(
             nframes, results, per_class,
         )
     return results, per_class
+
+
+def evaluate_panoptic_from_files(
+    pred_pans_2ch: Sequence[np.ndarray],
+    output_dir: str,
+    pan_gt_json_file: str,
+    pan_gt_folder: str,
+    n_video: int,
+    save_name: str = None,
+    windows: Sequence[int] = VIPER_WINDOWS,
+):
+    """The reference ``Viper.evaluate_panoptic`` file-level plumbing
+    (viper.py:171-363): load GT panoptic json + color PNGs (``get_gt``,
+    with the viper .jpg→.png basename fixup), encode predictions per video
+    (``get_pred`` splits frames into ``n_video`` chunks so the
+    ``inst2color`` track-color persistence is per-video, viper.py:205-222),
+    save ``pan_2ch/`` and ``pan/`` image folders + ``gt.json``/``pred.json``
+    (viper.py:353-357), then run image-PQ (window 1 — the reference's
+    ``pq_compute``, whose per-image matching including the SIZE_THR skip is
+    the nframes=1 case of ``_vpq_compute_single_core``, viper.py:505-618)
+    and vpq for windows 5/10/15, writing ``{save_name}_vpq_nfNN.txt``
+    tables. Returns {nframes: results}."""
+    import cv2
+
+    with open(pan_gt_json_file) as f:
+        gt_json = json.load(f)
+    files = [item["file_name"] for item in gt_json["images"]]
+    if "viper" in pan_gt_folder:
+        files = [f.split("/")[-1].replace(".jpg", ".png") for f in files]
+    gt_pans = []
+    for fn in files:
+        img = cv2.imread(os.path.join(pan_gt_folder, fn), cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(os.path.join(pan_gt_folder, fn))
+        gt_pans.append(img[..., ::-1])  # BGR → RGB
+
+    categories = {c["id"]: c for c in gt_json["categories"]}
+
+    # get_pred: per-video chunks, per-video color persistence
+    pred_chunks = np.array_split(np.arange(len(pred_pans_2ch)), n_video)
+    pred_pans, pred_anns = [], []
+    for chunk in pred_chunks:
+        pans, anns = encode_panoptic_video(
+            [pred_pans_2ch[i] for i in chunk], categories)
+        pred_pans.extend(pans)
+        pred_anns.extend(anns)
+    pred_json = {"annotations": pred_anns}
+
+    # save_image for both the raw 2ch maps and the encoded color maps
+    os.makedirs(output_dir, exist_ok=True)
+    for sub, images in (("pan_2ch", pred_pans_2ch), ("pan", pred_pans)):
+        folder = os.path.join(output_dir, sub)
+        os.makedirs(folder, exist_ok=True)
+        for item, img in zip(gt_json["images"], images):
+            name = (item["file_name"].replace("_leftImg8bit", "")
+                    .replace("jpg", "png").replace("jpeg", "png"))
+            cv2.imwrite(os.path.join(folder, os.path.basename(name)),
+                        np.asarray(img, np.uint8)[..., ::-1])
+    with open(os.path.join(output_dir, "gt.json"), "w") as f:
+        json.dump(gt_json, f)
+    with open(os.path.join(output_dir, "pred.json"), "w") as f:
+        json.dump(pred_json, f)
+
+    # pair GT and predictions per video (the reference np.array_splits all
+    # four lists by vid_num, viper.py:243-249)
+    gt_anns = gt_json["annotations"]
+    videos = []
+    for chunk in pred_chunks:
+        videos.append([
+            (gt_anns[i], pred_anns[i], gt_pans[i], pred_pans[i])
+            for i in chunk
+        ])
+
+    save_name = save_name or os.path.join(output_dir, "viper")
+    all_results = {}
+    for nf in windows:
+        results, per_class = viper_vpq_compute(
+            videos, categories, nf, output_dir=output_dir,
+            save_name=os.path.basename(save_name),
+        )
+        all_results[nf] = dict(results, per_class=per_class)
+    return all_results
 
 
 def evaluate_panoptic_viper(
