@@ -101,3 +101,47 @@ def test_fusion_no_valid_dets():
     assert int(out.num_keep) == 0
     np.testing.assert_array_equal(
         np.asarray(out.panoptic), fcn[..., :NUM_STUFF].argmax(-1))
+
+
+def test_degenerate_box_paste_is_empty_and_dropped():
+    """An inverted/degenerate box (x2 < x0 — possible from delta2bbox at
+    wild regression outputs) must paste an EMPTY window: the reference crop
+    [x0, x2+1) (mask_removal.py x_0/x_1 slices) is empty even though the
+    cv2.resize target is clamped to >= 1, so the mask sum is 0 and
+    MaskRemoval drops the det. Regression test for a round-4 bug found by
+    test_full_graph_parity: forcing the paste window to >= 1 px kept 11
+    degenerate random-weight dets that the reference dropped."""
+    hh, ww = 32, 48
+    mask28 = jnp.ones((28, 28), jnp.float32)
+
+    # inverted in x, inverted in y, and both
+    for box in ([20.0, 5.0, 12.0, 9.0], [10.0, 9.0, 14.0, 3.0],
+                [20.0, 9.0, 12.0, 3.0]):
+        vals, window = _paste_logit_window(mask28, jnp.asarray(box), (hh, ww))
+        assert not bool(np.asarray(window).any()), box
+        assert float(np.asarray(vals).sum()) == 0.0, box
+
+    # a 1-px box is still a 1-px PASTE (the clamp applies to the resize
+    # target, not the interval)
+    vals, window = _paste_logit_window(
+        mask28, jnp.asarray([7.0, 5.0, 7.0, 5.0]), (hh, ww))
+    assert int(np.asarray(window).sum()) == 1
+    assert np.asarray(window)[5, 7]
+
+    # end to end: one valid normal det + one degenerate det -> only the
+    # normal one survives MaskRemoval
+    n = 2
+    det_boxes = np.array([[4, 4, 20, 20], [30.0, 9.0, 22.0, 3.0]], np.float32)
+    det_probs = np.array([0.9, 0.95], np.float32)  # degenerate scores HIGHER
+    det_cls = np.ones((n,), np.int32)
+    det_valid = np.ones((n,), bool)
+    det_obj_ids = np.arange(n, dtype=np.int32)
+    masks28 = np.full((n, 28, 28), 5.0, np.float32)
+    fcn = np.zeros((hh, ww, 19), np.float32)
+    out = mask_removal_and_fuse(
+        jnp.asarray(det_boxes), jnp.asarray(det_probs), jnp.asarray(det_cls),
+        jnp.asarray(det_valid), jnp.asarray(det_obj_ids),
+        jnp.asarray(masks28), jnp.asarray(fcn), num_stuff=NUM_STUFF,
+    )
+    assert int(out.num_keep) == 1
+    assert int(np.asarray(out.keep_obj_ids)[0]) == 0

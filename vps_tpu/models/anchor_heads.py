@@ -126,12 +126,12 @@ class FCOSHead(nn.Module):
             cls_convs.append((
                 Conv(self.feat_channels, 3, 1, 1, use_bias=False,
                      kernel_init=ninit, name=f"cls_conv{i}"),
-                nn.GroupNorm(num_groups=32, name=f"cls_gn{i}"),
+                nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"cls_gn{i}"),
             ))
             reg_convs.append((
                 Conv(self.feat_channels, 3, 1, 1, use_bias=False,
                      kernel_init=ninit, name=f"reg_conv{i}"),
-                nn.GroupNorm(num_groups=32, name=f"reg_gn{i}"),
+                nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"reg_gn{i}"),
             ))
         cls_out = nn.Conv(fg, (3, 3), padding=1, kernel_init=ninit,
                           bias_init=bias_cls, name="fcos_cls")

@@ -274,9 +274,13 @@ class PanopticFuseTrack(nn.Module):
         roi_layer = self.bbox_roi_cfg.get("roi_layer", {})
         sample_num = roi_layer.get("sample_num", 2)
         # bf16 gathers halve the HBM traffic of the tap lookups; the 4-tap
-        # bilinear mix and downstream heads accumulate in f32.
+        # bilinear mix and downstream heads accumulate in f32. The `exact`
+        # preset sets compute_dtype='float32' here too — the reference's
+        # RoIAlign samples f32 maps (roi_align_kernel.cu).
+        roi_dt = {None: jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                  "float32": jnp.float32}[self.bbox_roi_cfg.get("compute_dtype")]
         out = multilevel_roi_align(
-            [f[0].astype(jnp.bfloat16) for f in feats[: len(strides)]],
+            [f[0].astype(roi_dt) for f in feats[: len(strides)]],
             rois,
             strides,
             out_size,

@@ -146,8 +146,15 @@ def _paste_logit_window(mask, box, out_hw):
     y0 = jnp.floor(box[1])
     x2 = jnp.floor(box[2])
     y2 = jnp.floor(box[3])
-    w = jnp.maximum(x2 - x0 + 1.0, 1.0)
-    h = jnp.maximum(y2 - y0 + 1.0, 1.0)
+    # resize target is clamped to >= 1 (the reference's max(w, 1) passed to
+    # cv2.resize) but the PASTE interval is the raw [x0, x2 + 1) crop
+    # (mask_removal.py x_0/x_1 slices): a degenerate/inverted box (x2 < x0,
+    # possible from delta2bbox at wild regression outputs) has an EMPTY
+    # crop, so its mask sum is 0 and MaskRemoval drops the det.
+    w_ext = x2 - x0 + 1.0
+    h_ext = y2 - y0 + 1.0
+    w = jnp.maximum(w_ext, 1.0)
+    h = jnp.maximum(h_ext, 1.0)
     ys = jnp.arange(hh, dtype=jnp.float32)
     xs = jnp.arange(ww, dtype=jnp.float32)
     # position within the resized (h, w) patch
@@ -155,9 +162,9 @@ def _paste_logit_window(mask, box, out_hw):
     px = xs - x0
     window = (
         (py >= 0)[:, None]
-        & (py < h)[:, None]
+        & (py < h_ext)[:, None]
         & (px >= 0)[None, :]
-        & (px < w)[None, :]
+        & (px < w_ext)[None, :]
         & (ys < hh)[:, None]
     )
     # torch bilinear align_corners=False: src = (dst + 0.5) * (m / size) - 0.5

@@ -137,7 +137,7 @@ class ConvModule(nn.Module):
             dtype=self.dtype,
         )(x)
         if self.norm == "gn":
-            x = nn.GroupNorm(num_groups=32)(x)
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5)(x)
         elif self.norm == "frozen_bn":
             x = FrozenBatchNorm(self.features)(x)
         return _act(self.activation)(x)

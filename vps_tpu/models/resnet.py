@@ -176,6 +176,14 @@ class ResNet(nn.Module):
 
         outs = []
         planes = 64
+        # inplanes tracking: block 0 of a stage projects the identity ONLY
+        # when the shape actually changes (torch resnet.py _make_layer:
+        # stride != 1 or inplanes != planes * expansion). For Bottleneck
+        # that is every stage; for BasicBlock (ResNet-18/34) layer1.0 has
+        # NO downsample — an unconditional projection there would leave a
+        # never-converted random branch in torch-weight parity.
+        expansion = 4 if block_kind == "bottleneck" else 1
+        inplanes = 64
         for i in range(self.num_stages):
             nblocks = stage_blocks[i]
             stride = self.strides[i]
@@ -194,15 +202,18 @@ class ResNet(nn.Module):
                             else None
                         ),
                     )
+                blk_stride = stride if j == 0 else 1
                 x = block_cls(
                     planes=planes,
-                    stride=stride if j == 0 else 1,
+                    stride=blk_stride,
                     dilation=dilation,
                     style=self.style,
-                    downsample=(j == 0),
+                    downsample=(j == 0 and (blk_stride != 1
+                                            or inplanes != planes * expansion)),
                     name=f"layer{i + 1}_{j}",
                     **kwargs,
                 )(x)
+                inplanes = planes * expansion
             if self.frozen_stages >= i + 1:
                 x = jax.lax.stop_gradient(x)
             if i in self.out_indices:
