@@ -80,7 +80,8 @@ def main():
                          "round artifact")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     ap.add_argument("--preset", default="half-flow",
-                    choices=["exact", "half-flow", "fast"],
+                    choices=["exact", "half-flow", "lowres-sem", "fast",
+                             "fast-lowres"],
                     help="see module docstring; the metric name is suffixed "
                          "with the preset so every number is labeled")
     ap.add_argument("--batch", type=int, default=1,
@@ -96,8 +97,8 @@ def main():
 
     # persistent XLA compile cache: the full-res FuseTrack graph takes
     # minutes to compile; cache hits bring reruns down to seconds.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from vps_tpu.utils.platform import configure_compile_cache
+    configure_compile_cache()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -108,11 +109,7 @@ def main():
     from vps_tpu.models.detectors import PanopticFuseTrack, empty_track_state
 
     h, w = (int(v) for v in args.size.split("x"))
-    cfg = zoo.fusetrack_model_cfg()
-    if args.preset == "fast":
-        cfg = zoo.fast_overrides(cfg)
-    elif args.preset == "exact":
-        cfg = zoo.exact_overrides(cfg)
+    cfg = zoo.preset_overrides(zoo.fusetrack_model_cfg(), args.preset)
     cfg.pop("type")
     det = PanopticFuseTrack(
         train_cfg=zoo.fusetrack_train_cfg(), test_cfg=zoo.fusetrack_test_cfg(),
@@ -221,7 +218,8 @@ def main():
           f"(min {min(window_fps):.3f}, max {max(window_fps):.3f})",
           file=sys.stderr)
 
-    label = {"exact": "exact", "half-flow": "halfflow", "fast": "fast"}[
+    label = {"exact": "exact", "half-flow": "halfflow", "fast": "fast",
+             "lowres-sem": "lowressem", "fast-lowres": "fastlowres"}[
         args.preset]
     print(json.dumps({
         "metric": f"fusetrack_inference_fps_{h}x{w}_{label}"

@@ -133,3 +133,37 @@ def test_fast_preset_agrees_with_exact(tmp_path):
     # Measured on this overfit fixture: see PERF.md "fast preset validation".
     assert report["sseg_mean"] > 0.90, report
     assert report["pano_mean"] > 0.85, report
+
+
+def test_lowres_sem_head_contract():
+    """lowres-sem preset (zoo.lowres_sem_overrides): the stride-8 UPSNet
+    tower must keep the stride-4 output contract (fcn_score H/4, fcn_output
+    H) AND the exact param tree of the stride-4 head, so reference-trained
+    weights load unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from vps_tpu.models.panoptic_fpn import UPSNetFPN
+
+    rng = np.random.RandomState(0)
+    h, w = 32, 64
+    feats = [jnp.asarray(rng.randn(1, h // s, w // s, 256).astype(np.float32))
+             for s in (1, 2, 4, 8)]  # strides 4..32 of a 128x256 image
+
+    ref = UPSNetFPN(compute_dtype=None)
+    low = UPSNetFPN(compute_dtype=None, head_stride=8)
+    v_ref = ref.init(jax.random.PRNGKey(0), feats)
+    v_low = low.init(jax.random.PRNGKey(0), feats)
+    # identical param trees: weights are interchangeable across presets
+    assert jax.tree.map(lambda a: a.shape, v_ref) == \
+        jax.tree.map(lambda a: a.shape, v_low)
+
+    out_ref, score_ref = ref.apply(v_ref, feats)
+    out_low, score_low = low.apply(v_ref, feats)  # ref weights on purpose
+    assert score_low.shape == score_ref.shape == (1, h, w, 19)
+    assert out_low.shape == out_ref.shape == (1, 4 * h, 4 * w, 19)
+    # smooth inputs: the stride-8 tower is a coarse approximation, not a
+    # different function — argmax maps should mostly agree
+    agree = float(np.mean(np.argmax(np.asarray(out_low), -1)
+                          == np.argmax(np.asarray(out_ref), -1)))
+    assert agree > 0.5, agree

@@ -198,6 +198,7 @@ class PanopticFuseTrack(nn.Module):
                 loss_weight=p.get("loss_weight", 1.0),
                 dcn_window=p.get("dcn_window", None),
                 dcn_sampling=p.get("dcn_sampling", "bilinear"),
+                head_stride=p.get("head_stride", 4),
                 compute_dtype=_pcd,
                 name="panopticFPN",
             )

@@ -104,6 +104,15 @@ class UPSNetFPN(nn.Module):
     # bf16 halves the HBM traffic of the DCN sampling (this head's dominant
     # cost); None recovers reference-exact f32 compute (the `exact` preset).
     compute_dtype: object = jnp.bfloat16
+    # 4 = reference semantics (tower base at FPN level 0, stride 4).
+    # 8 = the lowres-sem preset: level 0 is avg-pooled 2x before the DCN
+    # tower, which quarters the dominant stride-4 gather stream (~18M
+    # indices/frame at 1024x2048, PERF.md); fcn_score is bilinearly
+    # restored to stride 4 so every downstream contract (SegTerm windows,
+    # semantic loss at Nx=4) is unchanged. Param-free, so reference-trained
+    # weights remain loadable. Accuracy cost measured by
+    # tools/preset_accuracy.py.
+    head_stride: int = 4
 
     @property
     def num_stuff_classes(self):
@@ -114,6 +123,11 @@ class UPSNetFPN(nn.Module):
         """inputs: 4 FPN levels (B, H/4·2^l, W/4·2^l, 256). Returns
         (fcn_output (B, H, W, K) full-res logits, fcn_score (B, H/4, W/4, K))."""
         assert len(inputs) == self.num_levels
+        assert self.head_stride in (4, 8), self.head_stride
+        if self.head_stride == 8:
+            from vps_tpu.models.layers import avg_pool
+
+            inputs = [avg_pool(inputs[0], 2, 2, 0)] + list(inputs[1:])
         tower = [
             (DeformConvWithOffset(self.in_channels, dcn_window=self.dcn_window,
                                   dcn_sampling=self.dcn_sampling,
@@ -129,7 +143,9 @@ class UPSNetFPN(nn.Module):
                                   name="dc2"), "gn2"),
         ]
         norms = [
-            nn.GroupNorm(num_groups=32, name=n) for _, n in tower
+            # epsilon 1e-5 = torch nn.GroupNorm default (flax default 1e-6)
+            nn.GroupNorm(num_groups=32, epsilon=1e-5, name=n)
+            for _, n in tower
         ]
         # shared tower over all levels at once: each stage issues ONE
         # concatenated gather stream instead of one per level (index-bound,
@@ -148,6 +164,10 @@ class UPSNetFPN(nn.Module):
             kernel_init=nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"),
             name="conv_pred",
         )(feat)
+        if self.head_stride == 8:
+            # restore the stride-4 contract (SegTerm windows, Nx=4 loss)
+            fcn_score = resize_bilinear(fcn_score, (h * 2, w * 2))
+            h, w = fcn_score.shape[1:3]
         fcn_output = resize_bilinear(fcn_score, (h * 4, w * 4))
         return fcn_output, fcn_score
 

@@ -100,6 +100,8 @@ def exact_overrides(cfg):
     cfg = copy.deepcopy(cfg)
     cfg["flow_input_scale"] = 1.0
     cfg["backbone"]["compute_dtype"] = "float32"
+    if cfg.get("bbox_roi_extractor"):
+        cfg["bbox_roi_extractor"]["compute_dtype"] = "float32"
     if cfg.get("extra_neck"):
         cfg["extra_neck"]["compute_dtype"] = "float32"
     if cfg.get("panoptic"):
@@ -125,6 +127,39 @@ def fast_overrides(cfg):
     # nearest feature warping in the fuse neck (2 warps, 4 gathers -> 1 each)
     cfg["extra_neck"]["warp_sampling"] = "nearest"
     return cfg
+
+
+PRESETS = ("exact", "half-flow", "lowres-sem", "fast", "fast-lowres")
+
+
+def lowres_sem_overrides(cfg):
+    """lowres-sem preset: the UPSNet semantic tower runs from stride 8
+    instead of 4 (level 0 avg-pooled 2x; fcn_score bilinearly restored to
+    the stride-4 contract). Targets the single largest frame cost — the
+    ~18M-index stride-4 DCN gather stream (PERF.md UPSNetFPN section) —
+    param-free, so reference-trained weights still load. Accuracy cost is
+    measured on the synthetic fixture by tools/preset_accuracy.py."""
+    cfg = copy.deepcopy(cfg)
+    cfg["panoptic"]["head_stride"] = 8
+    return cfg
+
+
+def preset_overrides(cfg: Dict[str, Any], preset: str) -> Dict[str, Any]:
+    """Apply a named inference preset (bench.py / tools docs): 'exact' =
+    reference-exact semantics, 'half-flow' = the shipped default (identity),
+    'lowres-sem' = default + stride-8 semantic tower, 'fast' = documented
+    approximations, 'fast-lowres' = fast + stride-8 semantic tower."""
+    if preset == "exact":
+        return exact_overrides(cfg)
+    if preset in ("half-flow", "default"):
+        return copy.deepcopy(cfg)
+    if preset == "lowres-sem":
+        return lowres_sem_overrides(cfg)
+    if preset == "fast":
+        return fast_overrides(cfg)
+    if preset == "fast-lowres":
+        return lowres_sem_overrides(fast_overrides(cfg))
+    raise ValueError(f"unknown preset {preset!r}; known: {PRESETS}")
 
 
 def tiny_overrides(cfg: Dict[str, Any]) -> Dict[str, Any]:
