@@ -44,6 +44,17 @@ def parse_args():
                    help="comma-separated extra TTA scales as WxH (e.g. "
                         "'1024x512'); the config's test scale is always "
                         "variant 0. Implies --aug")
+    p.add_argument("--lambda", dest="lambda_", type=int, default=5,
+                   help="frame subsampling stride of the annotated frames "
+                        "(reference inference_panoptic_video: every 5th "
+                        "Cityscapes-VPS frame is labeled; 1 = all frames)")
+    p.add_argument("--labeled_fid", type=int, default=20)
+    p.add_argument("--nframes_per_video", type=int, default=6)
+    p.add_argument("--preset", default=None,
+                   help="inference preset applied to the model cfg "
+                        "(vps_tpu.zoo.PRESETS: exact / half-flow / "
+                        "lowres-sem / fast / fast-lowres); presets are "
+                        "param-free, so any checkpoint loads unchanged")
     p.add_argument("--streams", type=int, default=0,
                    help="parallel video streams round-robined over local "
                         "devices (0 = one per local device; videos are "
@@ -71,6 +82,9 @@ def main():
     from vps_tpu.eval.unified import get_unified_pan_result, save_panoptic_outputs
 
     cfg = Config.fromfile(args.config)
+    if args.preset:
+        from vps_tpu import zoo
+        cfg.model = zoo.preset_overrides(cfg.model, args.preset)
     detector = build_detector(cfg.model, train_cfg=cfg.train_cfg,
                               test_cfg=cfg.test_cfg)
     dataset = build_dataset(cfg.data["test"])
@@ -258,7 +272,9 @@ def main():
         }
     output_dir = args.out.replace(".pkl", "_pans_unified")
     os.makedirs(output_dir, exist_ok=True)
-    save_panoptic_outputs(pred_pans_2ch, categories, output_dir)
+    save_panoptic_outputs(pred_pans_2ch, categories, output_dir,
+                          lambda_=args.lambda_, labeled_fid=args.labeled_fid,
+                          nframes_per_video=args.nframes_per_video)
     print(f"VPS outputs written to {output_dir}")
 
 
