@@ -148,6 +148,11 @@ def main():
             env, 7200, "train")
 
     losses = epoch_losses(osp.join(train_work, "train.log"))
+    if not losses:
+        raise RuntimeError(
+            "no 'Epoch [e][i] ... loss:' lines in train.log — steps/epoch "
+            "is probably below log_config interval (10); raise "
+            "--train_videos/--frames or lower the interval in CONFIG_TMPL")
     tail = list(losses.values())[-5:]
     head = list(losses.values())[:1]
     print(f"[preset_accuracy] loss: first epoch {head[0]:.3f} -> last 5 "

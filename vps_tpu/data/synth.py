@@ -77,8 +77,15 @@ class _Inst:
             self.h = int(rng.randint(20, 30))
             vx = int(rng.randint(5, 11)) * (1 if rng.rand() < 0.5 else -1)
         lo = int(H * y_band[0])
-        hi = max(lo + 1, int(H * y_band[1]) - self.h)
+        band_hi = int(H * y_band[1])
+        # Clamp height to the band so the disjoint-band invariant actually
+        # holds: at small H the nominal size range can exceed the band, which
+        # used to spill instances into the next band / off-frame and made
+        # annotations disagree with the rendered GT (round-4 advisor finding).
+        self.h = min(self.h, band_hi - lo - 1)
+        hi = band_hi - self.h
         self.y = int(rng.randint(lo, hi))
+        assert self.y + self.h <= band_hi, (self.y, self.h, band_hi)
         travel = abs(vx) * (n_frames - 1)
         if travel > W - self.w - 4:  # keep fully in-frame for all frames
             vx = int(np.sign(vx)) * max(1, (W - self.w - 4) // max(1, n_frames - 1))
