@@ -39,6 +39,16 @@ import numpy as np
 
 BASELINE_FPS = 10.6  # docs/MODEL_ZOO.md:92 (Mask R-CNN R-50-FPN, V100)
 
+# The reference never publishes a FuseTrack fps. Documented estimate of the
+# true denominator (PERF.md "Baseline framing"): Mask R-CNN 10.6 fps at COCO
+# ~800x1333 scales to ~5.3 fps at the 1024x2048 VPS eval res (2.0x pixels);
+# FlowNet2 (162M, frozen, run per frame pair) at 1024x2048 on V100 is ~7 fps
+# (FlowNet2 paper: 123 ms @1024x436 on GTX1080, 2.35x pixels, ~2x V100);
+# serial composition plus fuse neck/track head/panoptic fusion lands at
+# ~2.5 fps. This matches MODEL_ZOO's own scaling (Cascade Mask R-CNN alone
+# drops 10.6 -> 7.4). An ESTIMATE, labeled as such in the emitted JSON.
+EST_FUSETRACK_REF_FPS = 2.5
+
 
 def fail(kind: str, msg: str, rc: int) -> None:
     print(json.dumps({
@@ -227,6 +237,12 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        # dual baseline framing (PERF.md "Baseline framing"): vs_baseline is
+        # the Mask R-CNN V100 proxy (the only fps the reference publishes);
+        # est_vs_fusetrack_ref divides by a documented ~2.5 fps estimate of
+        # the real FuseTrack V100 throughput (see EST_FUSETRACK_REF_FPS).
+        "vs_maskrcnn_proxy": round(fps / BASELINE_FPS, 3),
+        "est_vs_fusetrack_ref": round(fps / EST_FUSETRACK_REF_FPS, 3),
     }))
 
 

@@ -205,6 +205,10 @@ class SampledRois(NamedTuple):
     mask_targets: jnp.ndarray  # (num, mask_size, mask_size) float targets
     num_pos: jnp.ndarray
     num_neg: jnp.ndarray
+    # True where the sampled row came from the appended GT candidates
+    # (sampler add_gt_as_proposals). Cascade refine_bboxes drops those rows
+    # (reference bbox_head.py refine_bboxes "filter gt bboxes").
+    from_gt: jnp.ndarray = None
 
 
 def proposal_target(
@@ -287,4 +291,5 @@ def proposal_target(
         mask_targets,
         sample.num_pos,
         sample.num_neg,
+        from_gt=(inds >= proposals.shape[0]) & valid,
     )

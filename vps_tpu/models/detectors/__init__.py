@@ -8,3 +8,12 @@ from vps_tpu.models.detectors.panoptic import (  # noqa: F401
     run_video_streams,
 )
 from vps_tpu.models.detectors.single_stage import RetinaNet, FCOS  # noqa: F401
+from vps_tpu.models.detectors.two_stage import (  # noqa: F401
+    FasterRCNN,
+    MaskRCNN,
+    FastRCNN,
+    RPN,
+    DoubleHeadRCNN,
+    MaskScoringRCNN,
+    GridRCNN,
+)

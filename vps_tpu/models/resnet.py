@@ -222,6 +222,45 @@ class ResNet(nn.Module):
         return tuple(outs)
 
 
+from vps_tpu.registry import SHARED_HEADS  # noqa: E402
+
+
+@SHARED_HEADS.register
+class ResLayer(nn.Module):
+    """Shared ResNet stage applied to pooled ROI windows (reference
+    /root/reference/mmdet/models/shared_heads/res_layer.py:14): the C4
+    detector family pools 14×14 windows from the stage-3 map and runs the
+    res5 blocks (stride 2) per ROI before the box head. norm_eval semantics
+    come for free from FrozenBatchNorm."""
+
+    depth: int = 50
+    stage: int = 3
+    stride: int = 2
+    dilation: int = 1
+    style: str = "pytorch"
+
+    @nn.compact
+    def __call__(self, x):
+        block_kind, stage_blocks = ARCH_SETTINGS[self.depth]
+        block_cls = Bottleneck if block_kind == "bottleneck" else BasicBlock
+        expansion = 4 if block_kind == "bottleneck" else 1
+        planes = 64 * 2 ** self.stage
+        inplanes = 64 * 2 ** (self.stage - 1) * expansion
+        for j in range(stage_blocks[self.stage]):
+            blk_stride = self.stride if j == 0 else 1
+            x = block_cls(
+                planes=planes,
+                stride=blk_stride,
+                dilation=self.dilation,
+                style=self.style,
+                downsample=(j == 0 and (blk_stride != 1
+                                        or inplanes != planes * expansion)),
+                name=f"layer{self.stage + 1}_{j}",
+            )(x)
+            inplanes = planes * expansion
+        return x
+
+
 @BACKBONES.register
 class ResNeXt(ResNet):
     """ResNeXt (reference backbones/resnext.py): grouped-conv Bottleneck.
