@@ -100,16 +100,23 @@ class FasterRCNN(nn.Module):
             )
         else:
             self.rpn_head_m = None
+        # per-stage list configs are handled by CascadeRCNN._setup_extra
         self.bbox_head_m = (
             _build(self.bbox_head, HEADS, "SharedFCBBoxHead")
-            if self.bbox_head else None
+            if isinstance(self.bbox_head, dict) else None
         )
         self.mask_head_m = (
             _build(self.mask_head, HEADS, "FCNMaskHead")
-            if self.mask_head else None
+            if isinstance(self.mask_head, dict) else None
         )
-        self.bbox_roi_cfg = dict(self.bbox_roi_extractor or {})
-        self.mask_roi_cfg = dict(self.mask_roi_extractor or self.bbox_roi_cfg)
+        self.bbox_roi_cfg = (
+            dict(self.bbox_roi_extractor)
+            if isinstance(self.bbox_roi_extractor, dict) else {}
+        )
+        self.mask_roi_cfg = (
+            dict(self.mask_roi_extractor)
+            if isinstance(self.mask_roi_extractor, dict) else self.bbox_roi_cfg
+        )
         self._setup_extra()
 
     def _setup_extra(self):
