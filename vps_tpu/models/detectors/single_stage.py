@@ -201,6 +201,23 @@ class FCOS(nn.Module):
     def __call__(self, img):
         return self.head_m(self.neck_m(self.backbone_m(img)))
 
+    def loss(self, img, gt_bboxes, gt_labels, gt_valid):
+        """FCOS training losses (reference fcos_head.py:116-187): focal cls,
+        centerness-weighted IoU box loss, BCE centerness."""
+        from vps_tpu.models.anchor_heads import fcos_loss
+
+        cls_scores, bbox_preds, centernesses = self(img)
+        return fcos_loss(
+            [c[0] for c in cls_scores],
+            [b[0] for b in bbox_preds],
+            [c[0] for c in centernesses],
+            self.strides,
+            gt_bboxes,
+            gt_labels,
+            gt_valid,
+            num_classes=self.head_m.num_classes,
+        )
+
     def predict(self, img):
         cls_scores, bbox_preds, centernesses = self(img)
         tcfg = self.test_cfg or {}
@@ -218,3 +235,124 @@ class FCOS(nn.Module):
             max_per_img=tcfg.get("max_per_img", 100),
             nms_cfg=tcfg.get("nms"),
         )
+
+
+@DETECTORS.register
+class SSD(nn.Module):
+    """SSD detector (the reference expresses it as SingleStageDetector +
+    SSDVGG + SSDHead, configs/ssd300_coco.py): neck-less multi-scale VGG
+    features, per-level cls/reg convs, MultiBox loss with hard-negative
+    mining (anchor_heads/ssd_head.py:112-134)."""
+
+    backbone: Dict[str, Any]
+    bbox_head: Dict[str, Any]
+    neck: Optional[Dict[str, Any]] = None  # SSD has none; kept for parity
+    train_cfg: Optional[Dict[str, Any]] = None
+    test_cfg: Optional[Dict[str, Any]] = None
+    pretrained: Optional[str] = None
+
+    def setup(self):
+        from vps_tpu.models.anchor_heads import (
+            SSDHead,
+            ssd_anchor_generators,
+        )
+
+        self.backbone_m = _build(self.backbone, BACKBONES)
+        self.neck_m = _build(self.neck, NECKS) if self.neck else None
+        h = dict(self.bbox_head)
+        h.pop("type", None)
+        self.input_size = h.pop("input_size", 300)
+        self.anchor_strides = list(
+            h.pop("anchor_strides", (8, 16, 32, 64, 100, 300)))
+        self.anchor_ratios = [
+            list(r) for r in h.pop(
+                "anchor_ratios", ([2], [2, 3], [2, 3], [2, 3], [2], [2]))
+        ]
+        self.basesize_ratio_range = tuple(
+            h.pop("basesize_ratio_range", (0.15, 0.9)))
+        self.target_means = tuple(h.pop("target_means", (0.0,) * 4))
+        self.target_stds = tuple(h.pop("target_stds", (0.1, 0.1, 0.2, 0.2)))
+        h.pop("in_channels", None)
+        h.setdefault("anchors_per_level",
+                     tuple(len(r) * 2 + 2 for r in self.anchor_ratios))
+        self.head_m = SSDHead(**h)
+        self.anchor_gens = ssd_anchor_generators(
+            self.input_size,
+            num_levels=len(self.anchor_strides),
+            strides=self.anchor_strides,
+            anchor_ratios=self.anchor_ratios,
+            basesize_ratio_range=self.basesize_ratio_range,
+        )
+
+    def extract_feat(self, img):
+        x = self.backbone_m(img)
+        if self.neck_m is not None:
+            x = self.neck_m(x)
+        return x
+
+    def _anchors(self, cls_scores):
+        return [
+            g.grid_anchors(c.shape[1:3], s)
+            for g, c, s in zip(self.anchor_gens, cls_scores,
+                               self.anchor_strides)
+        ]
+
+    def __call__(self, img):
+        return self.head_m(self.extract_feat(img))
+
+    def loss(self, img, gt_bboxes, gt_labels, gt_valid):
+        from vps_tpu.models.anchor_heads import ssd_loss
+
+        cls_scores, bbox_preds = self(img)
+        tc = self.train_cfg or {}
+        assigner = tc.get("assigner", {})
+        return ssd_loss(
+            [c[0] for c in cls_scores],
+            [b[0] for b in bbox_preds],
+            self._anchors(cls_scores),
+            gt_bboxes,
+            gt_labels,
+            gt_valid,
+            num_classes=self.head_m.num_classes,
+            neg_pos_ratio=tc.get("neg_pos_ratio", 3),
+            smoothl1_beta=tc.get("smoothl1_beta", 1.0),
+            pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
+            neg_iou_thr=assigner.get("neg_iou_thr", 0.5),
+            target_means=self.target_means,
+            target_stds=self.target_stds,
+        )
+
+    def predict(self, img):
+        cls_scores, bbox_preds = self(img)
+        tcfg = self.test_cfg or {}
+        h, w = img.shape[1:3]
+        return anchor_head_bboxes(
+            [c[0] for c in cls_scores],
+            [b[0] for b in bbox_preds],
+            self._anchors(cls_scores),
+            (h, w),
+            num_classes=self.head_m.num_classes,
+            use_sigmoid=False,
+            nms_pre=tcfg.get("nms_pre", 1000),
+            score_thr=tcfg.get("score_thr", 0.02),
+            nms_thr=tcfg.get("nms_thr", 0.45),
+            max_per_img=tcfg.get("max_per_img", 200),
+            target_means=self.target_means,
+            target_stds=self.target_stds,
+            nms_cfg=tcfg.get("nms"),
+        )
+
+
+@DETECTORS.register(name="SingleStageDetector")
+def single_stage_detector(**cfg):
+    """Generic type= dispatch (reference detectors/single_stage.py:12 builds
+    any bbox_head from the registry; here the head type picks the concrete
+    detector class)."""
+    head_type = (cfg.get("bbox_head") or {}).get("type", "RetinaHead")
+    cls = {
+        "RetinaHead": RetinaNet,
+        "SSDHead": SSD,
+        "FCOSHead": FCOS,
+        "RepPointsHead": RepPointsDetector,
+    }[head_type]
+    return cls(**cfg)
