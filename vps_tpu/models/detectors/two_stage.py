@@ -100,22 +100,28 @@ class FasterRCNN(nn.Module):
             )
         else:
             self.rpn_head_m = None
-        # per-stage list configs are handled by CascadeRCNN._setup_extra
+        # per-stage list configs are handled by CascadeRCNN._setup_extra.
+        # NOTE flax freezes dataclass fields: dict → FrozenDict (not a dict
+        # subclass) and list → tuple, so "is it per-stage" is a tuple/list
+        # check, never isinstance(dict).
+        def _single(cfg):
+            return cfg is not None and not isinstance(cfg, (list, tuple))
+
         self.bbox_head_m = (
             _build(self.bbox_head, HEADS, "SharedFCBBoxHead")
-            if isinstance(self.bbox_head, dict) else None
+            if _single(self.bbox_head) else None
         )
         self.mask_head_m = (
             _build(self.mask_head, HEADS, "FCNMaskHead")
-            if isinstance(self.mask_head, dict) else None
+            if _single(self.mask_head) else None
         )
         self.bbox_roi_cfg = (
             dict(self.bbox_roi_extractor)
-            if isinstance(self.bbox_roi_extractor, dict) else {}
+            if _single(self.bbox_roi_extractor) else {}
         )
         self.mask_roi_cfg = (
             dict(self.mask_roi_extractor)
-            if isinstance(self.mask_roi_extractor, dict) else self.bbox_roi_cfg
+            if _single(self.mask_roi_extractor) else self.bbox_roi_cfg
         )
         self._setup_extra()
 
