@@ -328,3 +328,34 @@ def test_all_shipped_configs_build_detectors():
         det = build_detector(cfg.model, train_cfg=cfg.train_cfg,
                              test_cfg=cfg.test_cfg)
         assert det is not None, f
+
+
+def test_conv_ws_matches_torch():
+    """ConvWS (layers.py) vs the reference's conv_ws_2d math
+    (mmdet/models/utils/conv_ws.py:5): per-out-channel unbiased weight
+    standardization before the conv."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+    import jax
+    import jax.numpy as jnp
+
+    from vps_tpu.models.layers import ConvWS
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 9, 9, 4).astype(np.float32)
+    m = ConvWS(6, 3, 1, 1)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(m.apply(v, jnp.asarray(x)))
+
+    w = np.asarray(v["params"]["kernel"])  # (kh, kw, in, out)
+    b = np.asarray(v["params"]["bias"])
+    wt = torch.from_numpy(w.transpose(3, 2, 0, 1)).contiguous()  # (out,in,kh,kw)
+    flat = wt.reshape(wt.size(0), -1)
+    mean = flat.mean(dim=1).view(-1, 1, 1, 1)
+    std = flat.std(dim=1).view(-1, 1, 1, 1)
+    wt = (wt - mean) / (std + 1e-5)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    ref = F.conv2d(xt, wt, torch.from_numpy(b), 1, 1)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out, ref, atol=2e-5)

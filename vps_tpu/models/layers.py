@@ -107,6 +107,43 @@ class Conv(nn.Module):
         )(x)
 
 
+class ConvWS(nn.Module):
+    """Weight-standardized conv (reference mmdet/models/utils/conv_ws.py:5
+    conv_ws_2d / ConvWS2d — the conv_cfg=dict(type='ConvWS') GN+WS configs):
+    the kernel is normalized per OUTPUT channel to zero mean / unit std
+    before the convolution."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    eps: float = 1e-5
+    kernel_init: Callable = nn.initializers.he_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        w = self.param("kernel", self.kernel_init,
+                       (k, k, x.shape[-1], self.features))
+        flat = w.reshape(-1, self.features)
+        mean = jnp.mean(flat, axis=0)
+        # torch .std() is the UNBIASED estimator (N-1 denominator)
+        std = jnp.std(flat, axis=0, ddof=1)
+        w = (w - mean) / (std + self.eps)
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+        return y
+
+
 class ConvModule(nn.Module):
     """conv → norm → activation (reference mmdet/models/utils/conv_module.py
     ordering). norm: None | 'gn' (32 groups) | 'frozen_bn'."""
