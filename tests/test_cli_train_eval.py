@@ -88,13 +88,18 @@ def test_train_then_test_vpq_cli(tmp_path):
     results_by_chunk = {}
     for chunk in (2, 1):
         out_pkl = str(tmp_path / f"out_c{chunk}.pkl")
+        show = ["--show_dir", str(tmp_path / "show")] if chunk == 1 else []
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "test_vpq.py"),
              cfg_path, "--checkpoint", ckpt, "--out", out_pkl,
-             "--chunk", str(chunk)],
+             "--chunk", str(chunk)] + show,
             env=env, capture_output=True, text=True, timeout=2700,
         )
         assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+        if chunk == 1:
+            # --show_dir saved one drawn frame+panoptic composite per image
+            pngs = list((tmp_path / "show").glob("*.png"))
+            assert len(pngs) == 4, pngs
         out_pano = out_pkl.replace(".pkl", "_pano.pkl")
         assert os.path.exists(out_pano)
         with open(out_pano, "rb") as f:

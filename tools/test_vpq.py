@@ -60,6 +60,10 @@ def parse_args():
                         "devices (0 = one per local device; videos are "
                         "independent, so this scales eval throughput "
                         "near-linearly with chips)")
+    p.add_argument("--show_dir", default=None,
+                   help="save per-frame visualizations (detections drawn on "
+                        "the frame + colorized panoptic map side by side) — "
+                        "the reference tools/test.py --show surface")
     return p.parse_args()
 
 
@@ -131,8 +135,41 @@ def main():
                    all_pano_cls_inds=[], all_pano_obj_ids=[])
     t0 = time.time()
 
+    if args.show_dir:
+        os.makedirs(args.show_dir, exist_ok=True)
+
+    def show_frame(outputs_np, meta):
+        # reference tools/test.py --show (BaseDetector.show_result): dets
+        # drawn on the frame, plus the colorized panoptic id map
+        import cv2
+
+        from vps_tpu.utils.visualize import draw_detections, panoptic_to_color
+
+        raw = cv2.imread(osp.join(dataset.img_prefix, meta["filename"]))
+        h, w = shape_nopad[:2]
+        frame = cv2.resize(raw, (w, h))[..., ::-1]
+        valid = outputs_np["det_valid"].astype(bool)
+        boxes = np.concatenate(
+            [outputs_np["det_bboxes"][valid],
+             outputs_np["det_probs"][valid, None]], -1)
+        drawn = draw_detections(
+            frame, boxes, outputs_np["det_labels"][valid],
+            class_names=getattr(dataset, "CLASSES", None))
+        pan = outputs_np["panoptic_outputs"]
+        # the raw map is a dense small-int id (cls-or-instance slot), not
+        # cat*1000+inst — color each id with its own hue (divisor=1)
+        pan_col = panoptic_to_color(
+            (pan[0] if pan.ndim == 3 else pan).astype(np.int64), divisor=1)
+        pan_col = cv2.resize(pan_col, (w, h),
+                             interpolation=cv2.INTER_NEAREST)
+        out = np.concatenate([drawn, pan_col], axis=1)
+        name = meta["filename"].split("/")[-1].replace(".jpg", ".png")
+        cv2.imwrite(osp.join(args.show_dir, name), out[..., ::-1])
+
     def record(outputs_np, meta):
         nk = int(outputs_np["num_keep"])
+        if args.show_dir:
+            show_frame(outputs_np, meta)
         results["all_names"].append(meta["filename"].split("/")[-1])
         results["all_ssegs"].append(outputs_np["fcn_outputs"].astype(np.uint8))
         results["all_panos"].append(
