@@ -78,12 +78,29 @@ def build_optimizer(
     weight_decay: float = 1e-4,
     grad_clip: float = 35.0,
     frozen_stages: int = 1,
+    skip_nonfinite: int = 8,
 ):
-    """SGD+momentum+wd with global-norm clipping; frozen subtrees masked."""
+    """SGD+momentum+wd with global-norm clipping; frozen subtrees masked.
+
+    ``skip_nonfinite`` > 0 wraps the whole chain in
+    ``optax.apply_if_finite``: a step whose gradients contain inf/NaN is
+    skipped entirely (params, momentum and step count untouched) instead of
+    poisoning every parameter through the global-norm clip (one non-finite
+    leaf makes the global norm NaN, which scales EVERY grad to NaN). This is
+    the torch-AMP GradScaler skip-step semantics, which the reference relies
+    on under fp16 (mmcv Fp16OptimizerHook); here bf16/TPU rounding can tip a
+    transient warmup loss spike (measured: the track-head match CE hitting
+    ~e2 on outlier batches) into an overflowing backward, so the guard is on
+    by default for all training. After ``skip_nonfinite`` CONSECUTIVE bad
+    steps the NaNs propagate, so genuine divergence still surfaces instead
+    of silently spinning."""
     mask = trainable_mask(params, frozen_stages)
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.add_decayed_weights(weight_decay),
         optax.sgd(learning_rate=schedule, momentum=momentum),
     )
-    return optax.masked(tx, mask), mask
+    tx = optax.masked(tx, mask)
+    if skip_nonfinite > 0:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
+    return tx, mask

@@ -77,12 +77,13 @@ class Runner:
             warmup_iters=lr_cfg.get("warmup_iters", 500),
             warmup_ratio=lr_cfg.get("warmup_ratio", 1.0 / 3),
         )
-        grad_clip = self.cfg.get("optimizer_config", {}).get(
-            "grad_clip", {}).get("max_norm", 35.0)
+        opt_cfg = self.cfg.get("optimizer_config", {})
+        grad_clip = opt_cfg.get("grad_clip", {}).get("max_norm", 35.0)
         self.tx, _ = build_optimizer(
             params, schedule, momentum=opt.get("momentum", 0.9),
             weight_decay=opt.get("weight_decay", 1e-4), grad_clip=grad_clip,
             frozen_stages=self.detector.backbone.get("frozen_stages", 1),
+            skip_nonfinite=opt_cfg.get("skip_nonfinite", 8),
         )
         return TrainState(params, batch_stats, self.tx.init(params), jnp.asarray(0))
 

@@ -88,6 +88,11 @@ def make_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if isinstance(opt_state, optax.ApplyIfFiniteState):
+            # surfaced in the train log: cumulative count of steps whose
+            # gradients were non-finite and were therefore skipped
+            log_vars = dict(log_vars,
+                            nonfinite_skips=opt_state.total_notfinite)
         new_state = TrainState(params, state.batch_stats, opt_state, state.step + 1)
         return new_state, log_vars
 
