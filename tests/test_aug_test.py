@@ -76,12 +76,20 @@ def test_predict_aug_single_identity_variant_matches_predict():
     assert abs(int(out_plain["num_keep"]) - int(out_aug["num_keep"])) <= 2
     pp = np.asarray(out_plain["panoptic_outputs"])
     pa = np.asarray(out_aug["panoptic_outputs"])
-    assert (pp == pa).mean() > 0.8
     # any disagreement must come from differing instance channels (the
     # re-NMSed det set), never from the stuff/semantic path
     diff = pp != pa
     num_stuff = 11
     assert np.all((pp[diff] >= num_stuff) | (pa[diff] >= num_stuff))
+    # ...and wherever BOTH paths label a pixel as stuff, the label comes
+    # from the (bit-identical) fcn path, so it must agree EXACTLY. (A raw
+    # pixel-agreement threshold is NOT asserted: with random weights the
+    # across-levels re-NMS keeps a near-tie-dependent det set, and a single
+    # large flipped det moves whole-image agreement discretely — measured
+    # 0.95 -> 0.55 from an XLA:CPU codegen change alone; see CLAUDE.md on
+    # cross-graph near-tie assertions.)
+    both_stuff = (pp < num_stuff) & (pa < num_stuff)
+    np.testing.assert_array_equal(pp[both_stuff], pa[both_stuff])
     # both paths produce dets; valid counts close
     assert abs(int(np.asarray(out_plain["det_valid"]).sum())
                - int(np.asarray(out_aug["det_valid"]).sum())) <= 2

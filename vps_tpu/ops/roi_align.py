@@ -118,22 +118,13 @@ def roi_align(feat, rois, spatial_scale, out_size, sample_num=2, valid=None,
     return out
 
 
-def multilevel_roi_align(
-    feats: Sequence[jnp.ndarray],
-    rois: jnp.ndarray,
-    strides: Sequence[int],
-    out_size: int,
-    sample_num: int = 2,
-    finest_scale: int = 56,
-    valid=None,
-    sampling: str = "bilinear",
-):
-    """FPN RoIAlign with level mapping, one fused gather.
-
-    feats: list of (H_l, W_l, C) for strides[l]; rois (R, 4) image coords.
-    Returns (R, out, out, C)."""
-    num_levels = len(feats)
-    c = feats[0].shape[-1]
+def _multilevel_taps(rois, shapes, strides, out_size, sample_num,
+                     finest_scale, sampling):
+    """Shared fwd/bwd tap computation: per-ROI level assignment + flat
+    gather indices, bilinear weights and in-bounds mask. Pure index math —
+    no feature dependence, so the custom backward can recompute it instead
+    of saving residuals."""
+    num_levels = len(shapes)
     r = rois.shape[0]
 
     # Level assignment (single_level.py:69-73).
@@ -143,9 +134,9 @@ def multilevel_roi_align(
     lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
     lvl = jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
 
-    hs = jnp.asarray([f.shape[0] for f in feats], jnp.float32)
-    ws = jnp.asarray([f.shape[1] for f in feats], jnp.float32)
-    sizes = [f.shape[0] * f.shape[1] for f in feats]
+    hs = jnp.asarray([s[0] for s in shapes], jnp.float32)
+    ws = jnp.asarray([s[1] for s in shapes], jnp.float32)
+    sizes = [s[0] * s[1] for s in shapes]
     offsets = jnp.asarray(
         [0] + list(jnp.cumsum(jnp.asarray(sizes))[:-1]), jnp.int32
     )
@@ -180,11 +171,21 @@ def multilevel_roi_align(
         idxs, wgts, inb = _bilinear_weights_and_indices(
             x, y, roi_h[:, None], roi_w[:, None]
         )
+    gidxs = tuple((idx + roi_off[:, None]).reshape(-1) for idx in idxs)
+    return gidxs, wgts, inb
 
+
+def _mra_forward(feats, rois, valid, strides, out_size, sample_num,
+                 finest_scale, sampling):
+    c = feats[0].shape[-1]
+    r = rois.shape[0]
+    sn = sample_num
+    shapes = tuple((f.shape[0], f.shape[1]) for f in feats)
+    gidxs, wgts, inb = _multilevel_taps(
+        rois, shapes, strides, out_size, sample_num, finest_scale, sampling)
     flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
     out = 0.0
-    for idx, wgt in zip(idxs, wgts):
-        gidx = (idx + roi_off[:, None]).reshape(-1)
+    for gidx, wgt in zip(gidxs, wgts):
         vals = jnp.take(flat, gidx, axis=0).reshape(r, -1, c)
         out = out + vals * wgt[..., None]
     out = out * inb[..., None]
@@ -192,3 +193,103 @@ def multilevel_roi_align(
     if valid is not None:
         out = out * valid[:, None, None, None]
     return out
+
+
+from functools import partial as _partial
+
+import jax
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _mra_cvjp(feats, rois, valid, strides, out_size, sample_num,
+              finest_scale, sampling, meta):
+    return _mra_forward(feats, rois, valid, strides, out_size, sample_num,
+                        finest_scale, sampling)
+
+
+def _mra_cvjp_fwd(feats, rois, valid, strides, out_size, sample_num,
+                  finest_scale, sampling, meta):
+    out = _mra_forward(feats, rois, valid, strides, out_size, sample_num,
+                       finest_scale, sampling)
+    return out, (rois, valid)
+
+
+def _mra_cvjp_bwd(strides, out_size, sample_num, finest_scale, sampling,
+                  meta, res, ct):
+    """Features-only gradient, written out as the explicit scatter-add the
+    reference's backward kernel performs (roi_align_kernel.cu:126-208
+    atomicAdd of the four bilinear corner weights). ROI coordinates and the
+    validity mask are non-differentiable — exactly the reference semantics,
+    where the backward never differentiates w.r.t. the box coordinates.
+    Accumulates in f32 regardless of the (possibly bf16) feature dtype.
+    ``meta`` statically carries the per-level (shape, dtype-name)."""
+    rois, valid = res
+    shapes = tuple(s for s, _ in meta)
+    dtypes = tuple(dt for _, dt in meta)
+    r = rois.shape[0]
+    c = ct.shape[-1]
+    sn = sample_num
+    gidxs, wgts, inb = _multilevel_taps(
+        rois, shapes, strides, out_size, sample_num, finest_scale, sampling)
+    ct = ct.astype(jnp.float32)
+    if valid is not None:
+        ct = ct * valid[:, None, None, None].astype(jnp.float32)
+    # undo the bin mean: every (sn, sn) sample in a bin receives ct/sn².
+    ct_s = jnp.broadcast_to(
+        ct[:, :, None, :, None, :] / float(sn * sn),
+        (r, out_size, sn, out_size, sn, c),
+    ).reshape(r, -1, c)
+    ct_s = ct_s * inb[..., None]
+    total = sum(s[0] * s[1] for s in shapes)
+    flat_ct = jnp.zeros((total, c), jnp.float32)
+    for gidx, wgt in zip(gidxs, wgts):
+        contrib = (ct_s * wgt[..., None].astype(jnp.float32)).reshape(-1, c)
+        flat_ct = flat_ct.at[gidx].add(contrib)
+    grads = []
+    start = 0
+    for (h, w), dt in zip(shapes, dtypes):
+        grads.append(flat_ct[start:start + h * w].reshape(h, w, c).astype(dt))
+        start += h * w
+    return grads, jnp.zeros_like(rois), (
+        None if valid is None else jnp.zeros_like(valid))
+
+
+_mra_cvjp.defvjp(_mra_cvjp_fwd, _mra_cvjp_bwd)
+
+
+def multilevel_roi_align(
+    feats: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    strides: Sequence[int],
+    out_size: int,
+    sample_num: int = 2,
+    finest_scale: int = 56,
+    valid=None,
+    sampling: str = "bilinear",
+):
+    """FPN RoIAlign with level mapping, one fused gather.
+
+    feats: list of (H_l, W_l, C) for strides[l]; rois (R, 4) image coords.
+    Returns (R, out, out, C).
+
+    The backward is a hand-written custom_vjp (features-only scatter-add,
+    reference roi_align_kernel.cu backward semantics) rather than autodiff:
+    it keeps the training backward graph free of the dead coordinate/weight
+    gradient chains autodiff builds, accumulates in f32 under bf16 feature
+    compute, and pins the op's backward schedule independent of how XLA
+    fuses the surrounding graph."""
+    meta = tuple(((f.shape[0], f.shape[1]), jnp.dtype(f.dtype).name)
+                 for f in feats)
+    return _mra_cvjp(list(feats), rois, valid, tuple(strides), int(out_size),
+                     int(sample_num), int(finest_scale), sampling, meta)
+
+
+def multilevel_roi_align_autodiff(
+    feats, rois, strides, out_size, sample_num=2, finest_scale=56,
+    valid=None, sampling="bilinear",
+):
+    """Plain-autodiff variant (no custom_vjp) kept for backward-parity
+    tests against the hand-written scatter."""
+    return _mra_forward(list(feats), rois, valid, tuple(strides),
+                        int(out_size), int(sample_num), int(finest_scale),
+                        sampling)
