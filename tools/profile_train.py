@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--max-gt", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--f32", action="store_true",
+                    help="apply zoo.f32_compute_overrides (the tools/train.py "
+                         "TRAINING default) instead of the config's bf16 "
+                         "knobs — A/B the f32-train cost")
+    ap.add_argument("--sections", action="store_true",
+                    help="also time forward-only and value_and_grad jits "
+                         "(one extra compile each) for the step budget split")
     ap.add_argument("--config", default=None,
                     help="ALSO time the full Runner-style loop (real loader "
                          "+ step) on this config's train dataset: reports "
@@ -59,6 +66,8 @@ def main():
     mg = args.max_gt
 
     cfg = zoo.fusetrack_model_cfg()
+    if args.f32:
+        cfg = zoo.f32_compute_overrides(cfg)
     cfg.pop("type")
     det = PanopticFuseTrack(
         train_cfg=zoo.fusetrack_train_cfg(), test_cfg=zoo.fusetrack_test_cfg(),
@@ -135,6 +144,38 @@ def main():
     sec = min(ts)
     print(f"train step {args.size}: {sec*1000:.0f} ms/iter "
           f"({[f'{t*1000:.0f}' for t in ts]})", flush=True)
+
+    if args.sections:
+        from vps_tpu.train.step import make_loss_fn
+
+        loss_fn = make_loss_fn(det)
+
+        fwd = jax.jit(lambda p: loss_fn(p, batch_stats, batch, rng)[0])
+        t0 = time.time()
+        _ = float(fwd(params))
+        print(f"  fwd-only compile+first: {time.time()-t0:.1f}s", flush=True)
+        fts = []
+        for _i in range(args.iters):
+            t0 = time.time()
+            _ = float(fwd(params))
+            fts.append(time.time() - t0)
+        print(f"  fwd-only: {min(fts)*1000:.0f} ms", flush=True)
+
+        vg = jax.jit(jax.value_and_grad(
+            lambda p: loss_fn(p, batch_stats, batch, rng), has_aux=True))
+        t0 = time.time()
+        (tot, _lv), _g = vg(params)
+        _ = float(tot)
+        print(f"  fwd+bwd compile+first: {time.time()-t0:.1f}s", flush=True)
+        vts = []
+        for _i in range(args.iters):
+            t0 = time.time()
+            (tot, _lv), _g = vg(params)
+            _ = float(tot)
+            vts.append(time.time() - t0)
+        print(f"  fwd+bwd: {min(vts)*1000:.0f} ms  "
+              f"(optimizer+skip-guard = step - fwd+bwd = "
+              f"{(sec - min(vts))*1000:.0f} ms)", flush=True)
 
     if args.config:
         # ---- loader-in-loop: the wall the input pipeline actually adds ----

@@ -36,6 +36,10 @@ def parse_args():
     p.add_argument("--coordinator", default=None,
                    help="host:port of process 0 (explicit rendezvous)")
     p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--bf16-compute", dest="bf16_compute", action="store_true",
+                   help="keep the config's bf16 compute_dtype knobs for "
+                        "TRAINING instead of the f32 default (known XLA:TPU "
+                        "bf16 backward mis-fusion — see PERF.md)")
     p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
@@ -76,8 +80,16 @@ def main():
     seed = args.seed if args.seed is not None else 0
     set_random_seed(seed)
 
+    model_cfg = cfg.model
+    if not args.bf16_compute:
+        # training computes in f32 by default (bf16 backward mis-fusion on
+        # XLA:TPU — zoo.f32_compute_overrides docstring / PERF.md); params
+        # are f32 either way, so checkpoints stay preset-compatible.
+        from vps_tpu import zoo
+
+        model_cfg = zoo.f32_compute_overrides(dict(model_cfg))
     detector = build_detector(
-        cfg.model, train_cfg=cfg.train_cfg, test_cfg=cfg.test_cfg
+        model_cfg, train_cfg=cfg.train_cfg, test_cfg=cfg.test_cfg
     )
     dataset = build_dataset(cfg.data["train"])
     batch = args.batch_size or jax.local_device_count()

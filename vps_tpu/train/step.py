@@ -86,6 +86,13 @@ def make_train_step(
         (total, log_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, rng
         )
+        # Pin the backward/optimizer boundary: without this barrier XLA:TPU
+        # interleaves the optimizer arithmetic into the backward's schedule,
+        # and the re-fused backward was measured to produce inf/NaN trunk
+        # gradients on ~half of all steps (bit-identical data: the fused
+        # step computed non-finite grads where a standalone jit(grad(total))
+        # was finite — see PERF.md "TPU train-step NaN investigation").
+        grads = jax.lax.optimization_barrier(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if isinstance(opt_state, optax.ApplyIfFiniteState):

@@ -110,6 +110,27 @@ def exact_overrides(cfg):
     return cfg
 
 
+def f32_compute_overrides(cfg):
+    """Force f32 activation compute in every compute_dtype-knobbed tower,
+    leaving all other knobs (flow resolution, sampling modes) untouched.
+
+    This is the TRAINING default (tools/train.py): on the current XLA:TPU
+    stack the bf16 mixed-dtype backward mis-fuses — ~half of all train steps
+    produced inf/NaN trunk gradients that the same data computed finite in a
+    standalone grad graph (PERF.md "TPU train-step NaN investigation";
+    measured 0/120 bad steps after this override, converging). Params were
+    always f32, so checkpoints are fully compatible with the bf16 inference
+    presets. Opt back into bf16 train compute with tools/train.py
+    --bf16-compute for A/B work."""
+    cfg = copy.deepcopy(cfg)
+    for key in ("backbone", "bbox_roi_extractor", "mask_roi_extractor",
+                "extra_neck", "panoptic"):
+        if cfg.get(key):
+            cfg[key] = dict(cfg[key], compute_dtype="float32")
+    cfg["flow"] = dict(cfg.get("flow") or {}, compute_dtype="float32")
+    return cfg
+
+
 def fast_overrides(cfg):
     """Documented speed/accuracy-tradeoff preset (see PERF.md: the exact
     pipeline is gather-index-bound on TPU). Approximations vs reference:
