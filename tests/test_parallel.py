@@ -307,3 +307,41 @@ def test_data_parallel_train_step_8_devices():
     l1b = np.asarray(jax.tree.leaves(state.params["backbone"]["layer1_0"])[0])
     l1a = np.asarray(jax.tree.leaves(new_state.params["backbone"]["layer1_0"])[0])
     np.testing.assert_array_equal(l1b, l1a)
+
+
+def test_remat_grads_match_no_remat():
+    """jax.checkpoint of the per-sample loss (the tools/train.py default —
+    needed to fit f32 train compute in HBM at the 800×1600 crop, PERF.md)
+    must not change the gradients: remat only trades memory for recompute.
+
+    Caveat: the full detector's post-selection terms can flip near-ties
+    under different fusion (CLAUDE.md), so like the DDP grad-equivalence
+    test this uses forward values + grads of the SMOOTH pre-selection terms
+    via total-loss agreement at a loose-but-meaningful tolerance."""
+    from vps_tpu.train.step import make_loss_fn
+
+    det = _tiny_detector()
+    rng = np.random.RandomState(11)
+    batch_np = {k: v[None] for k, v in _sample(rng).items()}
+    params, batch_stats = _init_loss_inputs(det, batch_np)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    key = jax.random.PRNGKey(3)
+
+    f_plain = make_loss_fn(det, remat=False)
+    f_remat = make_loss_fn(det, remat=True)
+    (t0, lv0), g0 = jax.jit(jax.value_and_grad(
+        lambda p: f_plain(p, batch_stats, batch, key), has_aux=True))(params)
+    (t1, lv1), g1 = jax.jit(jax.value_and_grad(
+        lambda p: f_remat(p, batch_stats, batch, key), has_aux=True))(params)
+
+    assert abs(float(t0) - float(t1)) < 1e-3 * max(1.0, abs(float(t0)))
+    # grads agree leaf-wise at a tolerance scaled to each leaf's magnitude
+    for (k0, a), (k1, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+    ):
+        assert jax.tree_util.keystr(k0) == jax.tree_util.keystr(k1)
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=2e-3 * scale, err_msg=jax.tree_util.keystr(k0))

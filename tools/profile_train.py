@@ -31,6 +31,9 @@ def main():
                     help="apply zoo.f32_compute_overrides (the tools/train.py "
                          "TRAINING default) instead of the config's bf16 "
                          "knobs — A/B the f32-train cost")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the per-sample loss as "
+                         "tools/train.py does by default")
     ap.add_argument("--sections", action="store_true",
                     help="also time forward-only and value_and_grad jits "
                          "(one extra compile each) for the step budget split")
@@ -124,7 +127,7 @@ def main():
     tx, _ = build_optimizer(params, 0.005, momentum=0.9,
                             weight_decay=0.0001, grad_clip=35.0)
     state = TrainState(params, batch_stats, tx.init(params), jnp.asarray(0))
-    step = make_train_step(det, tx, donate=False)
+    step = make_train_step(det, tx, donate=False, remat=args.remat)
 
     t0 = time.time()
     state2, logs = step(state, batch, rng)

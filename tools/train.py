@@ -40,6 +40,11 @@ def parse_args():
                    help="keep the config's bf16 compute_dtype knobs for "
                         "TRAINING instead of the f32 default (known XLA:TPU "
                         "bf16 backward mis-fusion — see PERF.md)")
+    p.add_argument("--no-remat", dest="remat", action="store_false",
+                   help="disable jax.checkpoint of the per-sample loss "
+                        "(remat is on by default: the f32 train compute "
+                        "doubles activation memory and the 800x1600 step "
+                        "otherwise exceeds one v5e's HBM — see PERF.md)")
     p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
@@ -134,6 +139,7 @@ def main():
         seed=seed,
         eval_fn=eval_fn,
         eval_interval=eval_interval,
+        remat=args.remat,
     )
     runner.run(
         load_from=args.load_from or cfg.get("load_from"),

@@ -30,6 +30,7 @@ class Runner:
         seed: int = 0,
         eval_fn=None,
         eval_interval: int = 1,
+        remat: bool = False,
     ):
         self.detector = detector
         self.loader = loader
@@ -46,6 +47,10 @@ class Runner:
         # the metrics, other hosts return {}).
         self.eval_fn = eval_fn
         self.eval_interval = eval_interval
+        # jax.checkpoint the per-sample loss (see make_loss_fn): required to
+        # fit the f32-compute train default at the reference 800x1600 crop
+        # on one v5e (un-remat'd f32 exceeds HBM by ~0.4 GB)
+        self.remat = remat
         self.logger = get_root_logger()
         self.mesh = make_mesh()
         from vps_tpu.utils.metrics import Speedometer
@@ -127,7 +132,7 @@ class Runner:
             )
 
         state = replicate(state, self.mesh)
-        step_fn = make_train_step(self.detector, self.tx)
+        step_fn = make_train_step(self.detector, self.tx, remat=self.remat)
         rng = jax.random.PRNGKey(self.seed + 12345)
 
         for epoch in range(start_epoch, self.total_epochs):

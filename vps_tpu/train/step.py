@@ -31,11 +31,18 @@ def parse_losses(losses: Dict[str, jnp.ndarray]):
     return total, log_vars
 
 
-def make_loss_fn(detector) -> Callable:
+def make_loss_fn(detector, remat: bool = False) -> Callable:
     """loss_fn(params, batch_stats, batch, rng) -> (total, log_vars) over a
     leading device-batch dim B (vmapped single-image losses, global mean).
     Exposed separately from :func:`make_train_step` so tests can assert the
-    sharded-mesh gradient equals the single-device full-batch gradient."""
+    sharded-mesh gradient equals the single-device full-batch gradient.
+
+    ``remat=True`` wraps the per-sample loss in ``jax.checkpoint`` with the
+    ``dots_with_no_batch_dims_saveable`` policy (matmul/conv outputs kept,
+    elementwise chains recomputed): the f32 train default (see
+    zoo.f32_compute_overrides) doubles activation memory vs bf16 and the
+    un-remat'd 800×1600 step exceeds one v5e's HBM by ~0.4 GB — remat
+    trades recompute FLOPs for that memory."""
 
     def loss_fn(params, batch_stats, batch, rng):
         def single(sample, key):
@@ -58,6 +65,11 @@ def make_loss_fn(detector) -> Callable:
             )
             return losses
 
+        if remat:
+            single = jax.checkpoint(
+                single,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
         b = batch["img"].shape[0]
         keys = jax.random.split(rng, b)
         losses = jax.vmap(single)(batch, keys)
@@ -72,15 +84,17 @@ def make_train_step(
     detector,
     tx: optax.GradientTransformation,
     donate: bool = True,
+    remat: bool = False,
 ):
     """Returns train_step(state, batch, rng) -> (state, log_vars).
 
     ``batch`` arrays carry a leading device-batch dim B; the detector's
     single-image ``loss`` is vmapped over it and averaged — under jit with
-    the batch sharded on the ``data`` axis this is DDP.
+    the batch sharded on the ``data`` axis this is DDP. ``remat`` — see
+    :func:`make_loss_fn`.
     """
 
-    loss_fn = make_loss_fn(detector)
+    loss_fn = make_loss_fn(detector, remat=remat)
 
     def train_step(state: TrainState, batch, rng):
         (total, log_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
